@@ -1,0 +1,164 @@
+"""k-way segment merge (U4 in SURVEY.md §2.10).
+
+Reference analog: the per-chunk top-k flatten + re-sort merge of
+src/parallel-mantic.ts:62-75 — applied here to the index itself:
+several small segments are folded into one, the standard LSM-style
+maintenance step after incremental builds.
+
+Because segments own DISJOINT doc-id ranges (operators/docs.py gives
+segment s the range [s·SEG_STRIDE, …)), posting blocks from different
+segments never interleave: a merged posting list is just the union of
+block rows ordered by (term, first_doc). The merge is therefore pure
+Catalyst — union + re-sort — with NO decode. `compact=True` adds an
+applyInPandas pass that re-encodes each term's blocks to full
+BLOCK_SIZE (chunk-boundary tails leave ragged blocks behind), grouped
+by (term, src segment) so no group exceeds one source segment's
+postings — the same bounded-group discipline as the build.
+
+Block-max metadata survives unchanged: maxima are idf-independent
+(functions/codec.py) and doc_len/avgdl are not altered by a merge.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import codec
+from ..functions.bm25 import B, K1
+from ..sources.catalog import IndexPaths, append_manifest
+from .index_build import BLOCK_ROW_SCHEMA, _delete_path
+
+
+def _compact_fn(avgdl: float, k1: float, b: float):
+    import numpy as np
+
+    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("first_doc")
+        docs, tfs, dls = [], [], []
+        for g, t, l in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
+            d, tf, dl = codec.decode_block(g, t, l)
+            docs.append(d)
+            tfs.append(tf)
+            dls.append(dl)
+        d = np.concatenate(docs)
+        tf = np.concatenate(tfs)
+        dl = np.concatenate(dls)
+        blocks = codec.encode_blocks(d, tf, dl, avgdl, k1, b)
+        return pd.DataFrame(
+            {
+                "term": pdf["term"].iloc[0],
+                "segment_id": int(pdf["segment_id"].iloc[0]),
+                "first_doc": [x.first_doc for x in blocks],
+                "last_doc": [x.last_doc for x in blocks],
+                "block_max": [x.block_max for x in blocks],
+                "n": [x.n for x in blocks],
+                "doc_gaps": [x.doc_gaps for x in blocks],
+                "tfs": [x.tfs for x in blocks],
+                "dls": [x.dls for x in blocks],
+            }
+        )
+
+    return compact
+
+
+def merge_segments(
+    spark: SparkSession,
+    index_dir: str,
+    src_segments: list[int],
+    dst_segment: int | None = None,
+    compact: bool = True,
+    k1: float = K1,
+    b: float = B,
+) -> int:
+    """Fold src segments into one. Returns the destination segment id.
+
+    Write order is crash-safe: the destination is fully committed
+    before sources are deleted; a crash in between leaves duplicates
+    visible, which `wand_topk` would double-count — so dst uses a NEW
+    segment id and readers should treat 'merge' manifest rows as the
+    source of truth for live segments (finalize step deletes sources).
+    """
+    paths = IndexPaths(index_dir)
+    srcs = sorted(int(s) for s in src_segments)
+    if dst_segment is None:
+        dst_segment = srcs[0]
+    started = time.time()
+    stats = spark.read.parquet(paths.collection_stats).collect()[0]
+    avgdl = float(stats.avgdl)
+
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("segment_id").isin(srcs))
+        .withColumn("src_segment", F.col("segment_id"))
+        .withColumn("segment_id", F.lit(int(dst_segment)))
+    )
+    if compact:
+        # Whole-term groups: inputs are compressed blocks, so even a
+        # stop term over a full merged segment stays modest (~3 B/posting
+        # on disk; decoded ~24 B/posting numpy). Bound = one merged
+        # segment's postings for one term — size merges accordingly.
+        merged = blocks.drop("src_segment").groupBy("term").applyInPandas(
+            _compact_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA
+        )
+    else:
+        merged = blocks.drop("src_segment")
+
+    staging = f"{paths.root}/postings_merge_tmp"
+    _delete_path(spark, staging)
+    merged.repartition(1).sortWithinPartitions("term", "first_doc").write.mode("overwrite").parquet(staging)
+
+    committed = spark.read.parquet(staging)
+    n_postings = committed.agg(F.sum("n")).collect()[0][0]
+    n_terms = committed.select("term").distinct().count()
+    nbytes = committed.agg(
+        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls")))
+    ).collect()[0][0]
+
+    # commit dst, then retire sources (postings + terms + norms move)
+    for s in srcs:
+        _delete_path(spark, f"{paths.postings}/segment_id={s}")
+        _delete_path(spark, f"{paths.terms}/segment_id={s}")
+    committed.drop("segment_id").write.mode("overwrite").parquet(
+        f"{paths.postings}/segment_id={int(dst_segment)}"
+    )
+    _delete_path(spark, staging)
+
+    final = spark.read.parquet(f"{paths.postings}/segment_id={int(dst_segment)}")
+    terms = final.groupBy("term").agg(F.sum("n").alias("df"), F.max("block_max").alias("max_tf_norm"))
+    terms.coalesce(1).sortWithinPartitions("term").write.mode("overwrite").parquet(
+        f"{paths.terms}/segment_id={int(dst_segment)}"
+    )
+    # norms: move source norm rows under the dst segment dir
+    norms = spark.read.parquet(paths.norms).filter(F.col("segment_id").isin(srcs))
+    norms_pdf = norms.drop("segment_id")
+    staging_n = f"{paths.root}/norms_merge_tmp"
+    _delete_path(spark, staging_n)
+    norms_pdf.coalesce(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(staging_n)
+    for s in srcs:
+        _delete_path(spark, f"{paths.norms}/segment_id={s}")
+    spark.read.parquet(staging_n).write.mode("overwrite").parquet(
+        f"{paths.norms}/segment_id={int(dst_segment)}"
+    )
+    _delete_path(spark, staging_n)
+
+    append_manifest(
+        spark,
+        paths,
+        [
+            {
+                "segment_id": int(dst_segment),
+                "stage": "merge",
+                "status": "done",
+                "n_terms": n_terms,
+                "n_postings": n_postings,
+                "bytes": nbytes,
+                "started_at": started,
+            }
+        ]
+        + [{"segment_id": s, "stage": "merge", "status": "merged"} for s in srcs if s != dst_segment],
+    )
+    return int(dst_segment)

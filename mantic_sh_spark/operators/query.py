@@ -1,0 +1,86 @@
+"""Exhaustive DataFrame BM25 top-k (J10 + A1 + K1 in SURVEY.md).
+
+This is the reference's own semantics made distributed: Mantic scans
+every document per query and sums per-term partial scores
+(src/brain-scorer.ts:168-179, 270-280), then takes a global top-k with
+a deterministic tie-break (src/brain-scorer.ts:181-188). Here the scan
+is a broadcast join of the (tiny) query-term set against the
+(term, doc) tf relation, a per-doc sum, and a rank window — every
+stage Catalyst-native and whole-stage-codegen'd. Used as the oracle-
+checkable slow path; the fast path is operators/wand.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import B, K1
+from ..functions.tokenize import tokenize_query
+
+SCORE_DECIMALS = 4  # fp-sum order varies across partitions; rank on rounded score
+
+
+def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
+    """(query_id, term) — driver-side tokenization of the query set
+    with the SAME tokenizer as the doc side (T2)."""
+    rows = [(qid, t) for qid, q in queries for t in tokenize_query(q)]
+    return spark.createDataFrame(rows, "query_id int, term string")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    qterms: DataFrame,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, doc_id, score): exhaustive BM25 from a docs table that
+    carries `tokens` + `doc_len` (see operators.docs.build_docs)."""
+    toks = docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+    tf = toks.groupBy("term", "doc_id", "doc_len").agg(F.count(F.lit(1)).alias("tf"))
+    # restrict to query terms first (broadcast — query set is tiny),
+    # THEN compute df over the restricted relation (df per term is
+    # identical either way; doing it post-join avoids a full-vocab agg)
+    matched = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_per_term = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    scored = (
+        matched.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("tf")
+            * F.lit(k1 + 1.0)
+            / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(F.sum("partial").alias("score"))
+
+
+def rank_topk(scores: DataFrame, k: int = 10) -> DataFrame:
+    """(query_id, doc_id, score, rank): deterministic top-k — rounded
+    score desc, doc_id asc (mirrors src/brain-scorer.ts:181-188)."""
+    scores = scores.withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    return rank_topk(bm25_scores(docs, query_terms_df(spark, queries), k1, b), k)

@@ -1,0 +1,261 @@
+"""Block-Max WAND top-k over the compressed index (U3/K2/K3/O2).
+
+Reference analogs: the partitioned per-chunk top-k + identical-
+comparator merge of src/parallel-mantic.ts:26-75 (here: per-SEGMENT
+WAND inside applyInPandas, merged by a rank window), and the
+early-termination heuristic of src/smart-filter.ts:289-297 (here: the
+principled version — skip every block whose max possible score cannot
+beat the current k-th best).
+
+Algorithm: Block-Max WAND (Ding & Suel, SIGIR 2011 — public
+literature). Per segment and query:
+  * one cursor per query term over its block list; blocks are decoded
+    LAZILY — a block skipped by the block-max check is never decoded
+    (that is where the speed comes from);
+  * bounded min-heap of size k with deterministic tie-break
+    (score desc, doc_id asc);
+  * pivot selection on term upper bounds (idf × segment max tf_norm),
+    refined by per-block maxima before any full evaluation.
+
+idf uses GLOBAL df (summed across segments at query start), so scores
+are identical to the exhaustive engine; block maxima are
+idf-independent by construction (see functions/codec.py) and therefore
+stay valid upper bounds under any df.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import B, K1, idf as idf_fn
+from ..functions.codec import decode_block
+from ..functions.tokenize import tokenize_query
+from ..sources.catalog import IndexPaths
+from .query import rank_topk
+
+INF = 1 << 62
+# Ranking everywhere (exhaustive engine, pure oracle, WAND heap) is on
+# scores rounded to SCORE_DECIMALS (fp-sum order is not deterministic
+# across partitions). EPS must cover the rounding half-step so the
+# block-max skip can never drop a doc that would TIE the heap floor
+# after rounding: skip ⇒ true < θ - EPS ⇒ round(true) < θ. Looser
+# pruning by 1e-4, never an incorrect result.
+EPS = 1e-4
+
+
+class _Cursor:
+    """Lazy-decoding posting-list cursor for one (term, segment)."""
+
+    __slots__ = ("first", "last", "bmax", "gaps", "tfs", "dls", "idf", "ub",
+                 "k1", "b", "avgdl", "nb", "bi", "docs", "tf_arr", "dl_arr", "pi", "cur")
+
+    def __init__(self, pdf: pd.DataFrame, idf: float, avgdl: float, k1: float, b: float):
+        pdf = pdf.sort_values("first_doc")
+        self.first = pdf["first_doc"].to_numpy()
+        self.last = pdf["last_doc"].to_numpy()
+        self.bmax = pdf["block_max"].to_numpy()
+        self.gaps = pdf["doc_gaps"].tolist()
+        self.tfs = pdf["tfs"].tolist()
+        self.dls = pdf["dls"].tolist()
+        self.nb = len(self.first)
+        self.idf = idf
+        self.ub = idf * float(self.bmax.max())  # term upper bound in this segment
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.bi = -1
+        self.docs = None
+        self.pi = 0
+        self.cur = -1
+        self.seek(0)
+
+    def _enter(self, bi: int) -> None:
+        self.bi = bi
+        if bi >= self.nb:
+            self.docs = None
+            self.cur = INF
+            return
+        self.docs, self.tf_arr, self.dl_arr = decode_block(self.gaps[bi], self.tfs[bi], self.dls[bi])
+
+    def seek(self, target: int) -> None:
+        """Advance to the first posting with doc_id >= target (monotone)."""
+        if self.cur >= target:
+            return
+        lo = max(self.bi, 0)
+        bi = lo + int(np.searchsorted(self.last[lo:], target, side="left"))
+        if bi >= self.nb:
+            self.bi = self.nb
+            self.cur = INF
+            return
+        if bi != self.bi or self.docs is None:
+            self._enter(bi)
+        self.pi = int(np.searchsorted(self.docs, target, side="left"))
+        self.cur = int(self.docs[self.pi])
+
+    def advance(self) -> None:
+        """Move to the next posting."""
+        self.pi += 1
+        if self.docs is not None and self.pi < len(self.docs):
+            self.cur = int(self.docs[self.pi])
+        else:
+            bi = self.bi + 1
+            if bi >= self.nb:
+                self.cur = INF
+                return
+            self._enter(bi)
+            self.pi = 0
+            self.cur = int(self.docs[0])
+
+    def score(self) -> float:
+        tf = float(self.tf_arr[self.pi])
+        dl = float(self.dl_arr[self.pi])
+        return self.idf * tf * (self.k1 + 1.0) / (tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl))
+
+    def _block_for(self, d: int) -> int:
+        lo = max(self.bi, 0)
+        return lo + int(np.searchsorted(self.last[lo:], d, side="left"))
+
+    def block_max_upto(self, d: int) -> float:
+        """Max score this cursor could contribute to doc d (shallow —
+        no decode)."""
+        bi = self._block_for(d)
+        if bi >= self.nb or self.first[bi] > d:
+            return 0.0
+        return self.idf * float(self.bmax[bi])
+
+    def next_boundary(self, d: int) -> int:
+        """Smallest doc id > d at which this cursor's block-max bound
+        can change (shallow)."""
+        bi = self._block_for(d)
+        if bi >= self.nb:
+            return INF
+        if self.first[bi] > d:
+            return int(self.first[bi])
+        return int(self.last[bi]) + 1
+
+
+def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+    """BMW top-k over one segment. Returns [(doc_id, score)] sorted by
+    (score desc, doc_id asc), len ≤ k."""
+    # min-heap of (score, -doc_id): root = currently-worst kept result
+    heap: list[tuple[float, int]] = []
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) == k else -1.0
+
+    active = cursors
+    while True:
+        active = [c for c in active if c.cur < INF]
+        if not active:
+            break
+        active.sort(key=lambda c: c.cur)
+        th = theta()
+        acc = 0.0
+        p = -1
+        for i, c in enumerate(active):
+            acc += c.ub
+            if acc >= th - EPS:
+                p = i
+                break
+        if p == -1:
+            break  # sum of all term bounds can't reach the heap floor
+        pivot = active[p].cur
+        if pivot >= INF:
+            break
+        # block-max refinement (shallow: no block decode)
+        bacc = 0.0
+        for c in active[: p + 1]:
+            bacc += c.block_max_upto(pivot)
+        if bacc < th - EPS:
+            # skip: jump past the earliest block boundary among the
+            # cursors that defined this bound
+            nxt = min(c.next_boundary(pivot) for c in active[: p + 1])
+            target = max(pivot + 1, nxt)
+            # advance the highest-impact cursor (fewest future evals)
+            mover = max(active[: p + 1], key=lambda c: c.ub)
+            mover.seek(target)
+        elif active[0].cur == pivot:
+            s = 0.0
+            for c in active:
+                if c.cur == pivot:
+                    s += c.score()
+            for c in active:
+                if c.cur == pivot:
+                    c.advance()
+            item = (round(s, 4), -pivot)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        else:
+            # align: advance a lagging cursor up to the pivot
+            mover = max((c for c in active[:p] if c.cur < pivot), key=lambda c: c.ub)
+            mover.seek(pivot)
+    return sorted([(-nd, s) for s, nd in heap], key=lambda x: (-x[1], x[0]))
+
+
+def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
+              avgdl: float, k: int, k1: float, b: float):
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        by_term = {t: g for t, g in pdf.groupby("term")}
+        out_q, out_d, out_s = [], [], []
+        for qid, terms in queries.items():
+            cursors = [
+                _Cursor(by_term[t], idf_map[t], avgdl, k1, b)
+                for t in terms
+                if t in by_term and idf_map.get(t, 0.0) > 0.0
+            ]
+            if not cursors:
+                continue
+            for doc, score in block_max_wand(cursors, k):
+                out_q.append(qid)
+                out_d.append(doc)
+                out_s.append(score)
+        return pd.DataFrame({"query_id": pd.array(out_q, dtype="int32"),
+                             "doc_id": pd.array(out_d, dtype="int64"),
+                             "score": pd.array(out_s, dtype="float64")})
+
+    return run
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k via the index: per-segment BMW (applyInPandas) → global
+    rank-window merge. Parquet scan is pruned to the query terms
+    (predicate pushdown on `term` + row-group stats from the
+    sort-by-term layout)."""
+    paths = IndexPaths(index_dir)
+    stats = spark.read.parquet(paths.collection_stats).collect()[0]
+    n_docs, avgdl = int(stats.n_docs), float(stats.avgdl)
+
+    q_map = {int(qid): tokenize_query(q) for qid, q in queries}
+    all_terms = sorted({t for ts in q_map.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double, rank int")
+
+    # global df per query term (tiny agg over the terms directory)
+    tmeta = (
+        spark.read.parquet(paths.terms)
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
+
+    blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
+    per_seg = blocks.groupBy("segment_id").applyInPandas(
+        _wand_udf(q_map, idf_map, avgdl, k, k1, b),
+        schema="query_id int, doc_id long, score double",
+    )
+    return rank_topk(per_seg, k)

@@ -1,0 +1,115 @@
+"""End-to-end: build → exhaustive BM25 == pure oracle (rank identity),
+WAND == exhaustive, resume, deterministic doc ids across parallelism."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mantic_sh_spark.functions.bm25 import oracle_topk
+from mantic_sh_spark.operators.docs import build_docs
+from mantic_sh_spark.operators.index_build import build_index, index_stats
+from mantic_sh_spark.operators.query import bm25_topk
+from mantic_sh_spark.operators.wand import wand_topk
+from mantic_sh_spark.sources.synth import SynthConfig, gen_pages, gen_queries
+
+
+def _docs_with_tokens(spark, index_dir):
+    from mantic_sh_spark.functions.tokenize import tokens_col
+
+    d = spark.read.parquet(f"{index_dir}/docs")
+    return d.withColumn("tokens", tokens_col("text"))
+
+
+def _collect_topk(df):
+    rows = df.orderBy("query_id", "rank").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 4)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def queries(small_corpus):
+    return gen_queries(small_corpus["cfg"], n_queries=24)
+
+
+def test_exhaustive_matches_oracle(spark, small_corpus, queries):
+    idx = small_corpus["index_dir"]
+    docs = _docs_with_tokens(spark, idx)
+    got = _collect_topk(bm25_topk(spark, docs, queries, k=10))
+    # pure-python oracle over the same (doc_id, text) corpus
+    pairs = [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+    for qid, qtext in queries:
+        want = oracle_topk(pairs, qtext, k=10)
+        assert got.get(qid, []) == want, f"q{qid}='{qtext}'"
+
+
+def test_wand_matches_exhaustive(spark, small_corpus, queries):
+    idx = small_corpus["index_dir"]
+    docs = _docs_with_tokens(spark, idx)
+    ex = _collect_topk(bm25_topk(spark, docs, queries, k=10))
+    wd = _collect_topk(wand_topk(spark, idx, queries, k=10))
+    for qid, qtext in queries:
+        assert wd.get(qid, []) == ex.get(qid, []), f"q{qid}='{qtext}'"
+
+
+def test_index_stats(spark, small_corpus):
+    st = index_stats(spark, small_corpus["index_dir"])
+    assert st["n_docs"] == 400
+    assert st["segments"] == 4
+    assert st["postings"] > 0 and st["index_bytes"] > 0
+
+
+def test_doc_ids_deterministic_across_parallelism(spark, small_corpus):
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=2)
+    a = build_docs(pages, n_segments=4).select("url", "doc_id", "salt")
+    pages2 = gen_pages(spark, cfg, partitions=7)
+    b = build_docs(pages2, n_segments=4).select("url", F.col("doc_id").alias("doc_id2"))
+    diff = a.join(b, "url").filter(F.col("doc_id") != F.col("doc_id2")).count()
+    assert diff == 0
+
+
+def test_resume_produces_identical_index(spark, small_corpus, tmp_path):
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=4)
+
+    full_dir = str(tmp_path / "full")
+    build_index(spark, pages, full_dir, n_segments=4)
+
+    part_dir = str(tmp_path / "partial")
+    # simulate a killed build: only 2 of 4 segment batches complete
+    build_index(spark, pages, part_dir, n_segments=4, batch_segments=1, max_batches=2)
+    from mantic_sh_spark.sources.catalog import IndexPaths, done_segments
+
+    done_before = done_segments(spark, IndexPaths(part_dir))
+    assert len(done_before) == 2
+    # resume: must complete only pending segments
+    build_index(spark, pages, part_dir, n_segments=4, batch_segments=1)
+    assert len(done_segments(spark, IndexPaths(part_dir))) == 4
+
+    # resumed index == clean one-shot index, content-wise
+    cols = ["segment_id", "term", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
+    a = spark.read.parquet(f"{full_dir}/postings").select(cols)
+    b = spark.read.parquet(f"{part_dir}/postings").select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # manifest rows for previously-done segments untouched by resume
+    m = spark.read.parquet(f"{part_dir}/build_manifest")
+    per_seg = m.filter(F.col("stage") == "postings").groupBy("segment_id").count().collect()
+    assert all(r["count"] == 1 for r in per_seg)
+
+
+def test_needle_query_hits_exactly_one_doc(spark, small_corpus):
+    idx = small_corpus["index_dir"]
+    res = wand_topk(spark, idx, [(0, "zzneedle97")], k=10).collect()
+    assert len(res) == 1
+    docs = spark.read.parquet(f"{idx}/docs")
+    url = docs.filter(F.col("doc_id") == res[0].doc_id).collect()[0].url
+    assert url.endswith("doc-000000000097")
+
+
+def test_absent_term_returns_empty(spark, small_corpus):
+    assert wand_topk(spark, small_corpus["index_dir"], [(0, "qqnotthere")], k=5).count() == 0
