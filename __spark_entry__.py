@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship BM25 top-k over the sf0.001 documents table.
+queries()      — one Spark callable per implemented operator
+                 (SURVEY.md §2 inventory; see
+                 mantic_sh_spark/plans/entry_queries.py).
+oracle_sql()   — DuckDB-equivalent ANSI SQL for each query (the
+                 correctness gate); non-SQL-expressible ops (WAND,
+                 codec, LSH buckets, multimodal stubs) are covered by
+                 pytest instead.
 """
 
 from __future__ import annotations
@@ -15,24 +18,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: exhaustive BM25 top-10 for a fixed multi-term
+    query over /root/testdata/sf0.001 — the same engine path the
+    synthetic-corpus index serves via Block-Max WAND."""
+    from mantic_sh_spark.plans.entry_queries import q_bm25_multi
+
+    return q_bm25_multi(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mantic_sh_spark.plans.entry_queries import REGISTRY
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mantic_sh_spark.plans.entry_queries import REGISTRY
+
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,143 @@
+"""CLI — the spark-submit entry point (reference analog: the commander
+CLI of src/index.ts:17-58 and the MCP adapter src/mcp-server.ts, which
+shells out to the same pipeline; here one long-lived SparkSession
+serves every subcommand).
+
+Usage (local):
+    python main.py build  --pages /path/pages --index /path/idx --segments 32
+    python main.py query  --index /path/idx --q "router server" --k 10
+    python main.py extend --index /path/idx --pages /path/new_pages
+    python main.py merge  --index /path/idx --segments 0,1,2
+    python main.py synth  --out /path/pages --n-docs 100000
+    python main.py stats  --index /path/idx
+
+Cluster: spark-submit --py-files mantic_sh_spark.zip main.py build ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(cores=args.cores, app_name=f"mantic-{args.cmd}")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mantic_sh_spark")
+    p.add_argument("--cores", type=int, default=None, help="local[N]; default local[*]")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("synth", help="generate a deterministic synthetic pages corpus")
+    s.add_argument("--out", required=True)
+    s.add_argument("--n-docs", type=int, default=10000)
+    s.add_argument("--vocab", type=int, default=10000)
+    s.add_argument("--seed", type=int, default=42)
+    s.add_argument("--partitions", type=int, default=16)
+
+    b = sub.add_parser("build", help="build (or resume) the inverted index")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--segments", type=int, default=16)
+    b.add_argument("--batch-segments", type=int, default=None)
+
+    e = sub.add_parser("extend", help="fold new pages into an existing index")
+    e.add_argument("--index", required=True)
+    e.add_argument("--pages", required=True)
+    e.add_argument("--new-segments", type=int, default=4)
+
+    m = sub.add_parser("merge", help="k-way merge segments")
+    m.add_argument("--index", required=True)
+    m.add_argument("--segments", required=True, help="comma-separated src segment ids")
+    m.add_argument("--dst", type=int, default=None)
+    m.add_argument("--no-compact", action="store_true")
+
+    q = sub.add_parser("query", help="BM25 top-k")
+    q.add_argument("--index", required=True)
+    q.add_argument("--q", required=True, nargs="+", help="one or more query strings")
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--engine", choices=["wand", "exhaustive"], default="wand")
+    q.add_argument("--format", choices=["json", "text"], default="json")
+
+    st = sub.add_parser("stats", help="index build metrics")
+    st.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .sources.synth import SynthConfig, gen_pages
+
+        spark = _spark(args)
+        cfg = SynthConfig(n_docs=args.n_docs, vocab_size=args.vocab, seed=args.seed)
+        gen_pages(spark, cfg, partitions=args.partitions).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "n_docs": args.n_docs}))
+
+    elif args.cmd == "build":
+        from .operators.index_build import build_index, index_stats
+
+        spark = _spark(args)
+        pages = spark.read.parquet(args.pages)
+        build_index(spark, pages, args.index, n_segments=args.segments, batch_segments=args.batch_segments)
+        print(json.dumps(index_stats(spark, args.index)))
+
+    elif args.cmd == "extend":
+        from .operators.index_build import index_stats
+        from .streaming.incremental import extend_index
+
+        spark = _spark(args)
+        segs = extend_index(spark, args.index, spark.read.parquet(args.pages), args.new_segments)
+        print(json.dumps({"new_segments": segs, **index_stats(spark, args.index)}))
+
+    elif args.cmd == "merge":
+        from .operators.merge import merge_segments
+
+        spark = _spark(args)
+        dst = merge_segments(
+            spark, args.index, [int(x) for x in args.segments.split(",")],
+            dst_segment=args.dst, compact=not args.no_compact,
+        )
+        print(json.dumps({"merged_into": dst}))
+
+    elif args.cmd == "query":
+        spark = _spark(args)
+        queries = list(enumerate(args.q))
+        if args.engine == "wand":
+            from .operators.wand import wand_topk
+
+            res = wand_topk(spark, args.index, queries, k=args.k)
+        else:
+            from .functions.tokenize import tokens_col
+            from .operators.query import bm25_topk
+
+            docs = spark.read.parquet(f"{args.index}/docs").withColumn("tokens", tokens_col("text"))
+            res = bm25_topk(spark, docs, queries, k=args.k)
+        docs_tbl = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
+        from pyspark.sql import functions as F
+
+        rows = res.join(F.broadcast(docs_tbl.join(res.select("doc_id").distinct(), "doc_id", "left_semi")), "doc_id").orderBy("query_id", "rank").collect()
+        if args.format == "json":
+            out = {}
+            for r in rows:
+                out.setdefault(args.q[r.query_id], []).append(
+                    {"rank": r.rank, "doc_id": r.doc_id, "url": r.url, "score": r.score}
+                )
+            print(json.dumps(out, indent=1))
+        else:
+            for r in rows:
+                print(f"{args.q[r.query_id]}\t{r.rank}\t{r.score:.4f}\t{r.url}")
+
+    elif args.cmd == "stats":
+        from .operators.index_build import index_stats
+
+        spark = _spark(args)
+        print(json.dumps(index_stats(spark, args.index)))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

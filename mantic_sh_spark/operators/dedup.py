@@ -1,0 +1,163 @@
+"""Deduplication suite for web-scale training data: exact, MinHash+LSH,
+SimHash, n-gram Jaccard. (Reference analog: Set-based dedup A11 and the
+canonical-duplicate grouping of src/canonical-analyzer.ts:27-113 — J8 —
+generalized to content-level near-dup detection.)
+
+Scale notes (the part that matters at 100 TB):
+  * exact dedup is one hash-groupBy — the md5 shuffle key is 16 bytes
+    regardless of document size, and Catalyst does map-side partial
+    aggregation.
+  * MinHash signatures are Catalyst-only (md5 → hex → bigint), so
+    signature computation never leaves the JVM. LSH banding turns the
+    O(n²) pair space into an equi-join on band keys — the only join is
+    |candidate pairs|, not |docs|².
+  * n-gram Jaccard here is the VERIFICATION stage run on LSH candidate
+    pairs (bounded), or on explicitly bounded subsets for tests; never
+    run the all-pairs form on a full corpus.
+
+The md5→bigint hash family is chosen for cross-engine reproducibility:
+DuckDB computes the identical values ('0x'||substr(md5(..),1,15))::BIGINT,
+which is what makes the signatures oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokens_col
+
+# 32 hashes / bands of 4 → 8 bands: detection threshold ≈ (1/8)^(1/4) ≈ 0.59,
+# P(candidate | jaccard 0.85) ≈ 1 - (1 - 0.85^4)^8 ≈ 0.994
+N_HASHES = 32
+BAND_SIZE = 4
+
+
+def _toks() -> F.Column:
+    return tokens_col("text", camel=False)
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_dupes): one keeper (min doc_id) per distinct text.
+    Hash-groupBy on md5(text) — the canonical exact pass."""
+    return (
+        docs.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).cast("long").alias("n_dupes"))
+        .select("doc_id", "n_dupes")
+    )
+
+
+def hash64(col: F.Column, salt: F.Column | str) -> F.Column:
+    """Deterministic 60-bit hash reproducible in ANSI SQL:
+    int(first 15 hex chars of md5(col || '#' || salt))."""
+    s = F.lit(salt) if isinstance(salt, (str, int)) else salt
+    return F.conv(F.substring(F.md5(F.concat(col, F.lit("#"), s.cast("string"))), 1, 15), 16, 10).cast("long")
+
+
+def doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) distinct — the set representation used by
+    MinHash/Jaccard."""
+    return docs.select("doc_id", F.explode(F.array_distinct(_toks())).alias("term"))
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, sig_id, minhash): n_hashes permutations approximated by
+    salted hashes; min per (doc, sig). Pure Catalyst — the crossJoin
+    side is n_hashes rows (broadcast by construction)."""
+    terms = doc_terms(docs)
+    sigs = docs.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("sig_id"))
+    return (
+        terms.crossJoin(F.broadcast(sigs))
+        .select("doc_id", "sig_id", hash64(F.col("term"), F.col("sig_id")).alias("h"))
+        .groupBy("doc_id", "sig_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """(doc_id, band, band_key): concat each band's minhashes → md5 key.
+    Docs agreeing on any full band become candidates."""
+    banded = signatures.withColumn("band", (F.col("sig_id") / F.lit(band_size)).cast("int"))
+    return (
+        banded.groupBy("doc_id", "band")
+        .agg(F.sort_array(F.collect_list(F.struct("sig_id", "minhash"))).alias("ms"))
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(",", F.transform(F.col("ms"), lambda x: x["minhash"].cast("string")))).alias(
+                "band_key"
+            ),
+        )
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b): equi-join on band keys —
+    the scale path that replaces the O(n²) comparison."""
+    bands = lsh_bands(minhash_signatures(docs, n_hashes), band_size)
+    l = bands.select(F.col("band").alias("band_l"), F.col("band_key").alias("key_l"), F.col("doc_id").alias("a"))
+    r = bands.select(F.col("band").alias("band_r"), F.col("band_key").alias("key_r"), F.col("doc_id").alias("b"))
+    pairs = l.join(
+        r,
+        (F.col("band_l") == F.col("band_r")) & (F.col("key_l") == F.col("key_r")) & (F.col("a") < F.col("b")),
+    )
+    return pairs.select("a", "b").distinct()
+
+
+def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams."""
+    t = docs.withColumn("toks", _toks()).filter(F.size("toks") >= n)
+    idx = F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]))
+    return t.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def jaccard_pairs(shingles: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
+    """(a, b, jac): exact Jaccard over shingle sets; restricted to a
+    candidate-pair DataFrame when given (the LSH→verify pattern),
+    otherwise all pairs a<b (BOUNDED INPUTS ONLY)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    l = shingles.select(F.col("doc_id").alias("a"), "shingle")
+    r = shingles.select(F.col("doc_id").alias("b"), "shingle")
+    inter = l.join(r, "shingle").filter(F.col("a") < F.col("b")).groupBy("a", "b").agg(F.count(F.lit(1)).alias("ix"))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "left_semi")
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("jac", F.round(F.col("ix") / (F.col("sza") + F.col("szb") - F.col("ix")), 4))
+        .filter(F.col("jac") >= threshold)
+    )
+    return out.select("a", "b", "jac")
+
+
+def near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup: MinHash → LSH bands → candidate pairs →
+    exact-Jaccard verification (the standard two-stage pipeline)."""
+    cands = lsh_candidate_pairs(docs)
+    return jaccard_pairs(doc_terms(docs).withColumnRenamed("term", "shingle"), threshold, candidates=cands)
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit SimHash from tf-weighted term-hash bits.
+    Catalyst-only formulation (bit j of the term hash votes ±tf)."""
+    t = docs.withColumn("toks", _toks())
+    tf = t.select("doc_id", F.explode("toks").alias("term")).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    tf = tf.withColumn("h", hash64(F.col("term"), F.lit("sim")))
+    bits = docs.sparkSession.range(16).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        tf.crossJoin(F.broadcast(bits))
+        .withColumn("vote", F.expr("((shiftright(h, bit) & 1) * 2 - 1)") * F.col("tf"))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return (
+        votes.withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

@@ -36,13 +36,15 @@ SEG_STRIDE = 1 << 40
 CHUNK_SIZE = 1 << 14
 
 
-def build_docs(pages: DataFrame, n_segments: int = 8) -> DataFrame:
+def build_docs(pages: DataFrame, n_segments: int = 8, segment_offset: int = 0) -> DataFrame:
     """→ (doc_id, url, text, lang, warc_ts, doc_len, segment_id, salt, tokens).
 
-    Deterministic for a given (pages content, n_segments) regardless of
-    input partitioning or parallelism.
+    Deterministic for a given (pages content, n_segments, segment_offset)
+    regardless of input partitioning or parallelism. segment_offset lets
+    incremental builds allocate FRESH segment ids (and hence fresh,
+    disjoint doc-id ranges) for newly arrived pages — the ST2 path.
     """
-    seg = F.pmod(F.xxhash64("url"), F.lit(n_segments)).cast("int")
+    seg = (F.pmod(F.xxhash64("url"), F.lit(n_segments)) + F.lit(segment_offset)).cast("int")
     df = pages.withColumn("segment_id", seg)
     df = df.repartition(n_segments, "segment_id")
     w = Window.partitionBy("segment_id").orderBy("url")

@@ -169,6 +169,10 @@ def build_postings_for_segments(
         r.segment_id: r.n
         for r in batch.groupBy("segment_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    seg_stats = [(int(s), float(avgdl)) for s in segs]
+    spark.createDataFrame(seg_stats, "segment_id int, build_avgdl double").coalesce(1).write.mode(
+        "append"
+    ).parquet(paths.segment_stats)
     finished = time.time()
     return [
         {

@@ -145,6 +145,19 @@ def merge_segments(
     )
     _delete_path(spark, staging_n)
 
+    # segment_stats: dst inherits the MIN src build_avgdl (wand takes the
+    # per-segment min, so the inflation factor stays an upper bound
+    # whether or not the blocks were re-encoded at the current avgdl)
+    from ..sources.catalog import read_or_none
+
+    ss = read_or_none(spark, paths.segment_stats)
+    if ss is not None:
+        mn = ss.filter(F.col("segment_id").isin(srcs)).agg(F.min("build_avgdl")).collect()[0][0]
+        if mn is not None:
+            spark.createDataFrame(
+                [(int(dst_segment), float(mn))], "segment_id int, build_avgdl double"
+            ).coalesce(1).write.mode("append").parquet(paths.segment_stats)
+
     append_manifest(
         spark,
         paths,

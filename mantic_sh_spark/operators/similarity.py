@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+Reference analog: the optional semantic rerank — MiniLM embeddings +
+cosine similarity re-sort (src/semantic-scorer.ts:157-244, R15). Here
+generalized to corpus-scale ANN primitives:
+
+  * brute-force cosine top-k — the exact baseline. Dot products run
+    JVM-side via zip_with/aggregate (no Python).
+  * random-hyperplane LSH top-k — the scale path: H deterministic
+    hyperplanes → sign-bit bucket per vector → exact rescore within
+    the query's bucket (plus multiprobe neighbors). Candidate set is
+    |bucket|, not |corpus|.
+
+At 10^12 vectors the brute path is a full scan per query (only for
+oracle checks); the LSH path prunes to buckets and is embarrassingly
+parallel — bucket assignment is one mapInPandas matmul.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float], id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos): exact cosine vs a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4).alias("cos"),
+    )
+
+
+def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                exclude_id: int | None = None) -> DataFrame:
+    """(vec_id, cos, rank): brute-force exact top-k (deterministic
+    tie-break vec_id asc)."""
+    s = cosine_scores(emb, query_vec)
+    if exclude_id is not None:
+        s = s.filter(F.col("vec_id") != exclude_id)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (driver-side, tiny, broadcast
+    via closure)."""
+    rng = np.random.default_rng([seed, dim, n_planes])
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_ids(emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket): sign-bit bucket per vector. One vectorized
+    matmul per Arrow batch (mapInPandas) — the only Python stage, and
+    it is O(batch × dim × planes) BLAS."""
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.vstack(pdf[vec_col].to_numpy())
+            bits = (vecs @ planes.T) > 0
+            bucket = (bits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
+
+    return emb.select(id_col, vec_col).mapInPandas(assign, schema="vec_id long, bucket long")
+
+
+def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                    n_planes: int = 12, seed: int = 42, multiprobe: int = 1,
+                    exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k: rescore only vectors whose bucket matches the
+    query's bucket or differs in ≤ multiprobe sign bits."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
+    qbucket = int((qbits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum())
+    probes = {qbucket}
+    if multiprobe >= 1:
+        for i in range(n_planes):
+            probes.add(qbucket ^ (1 << i))
+    if multiprobe >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qbucket ^ (1 << i) ^ (1 << j))
+
+    buckets = lsh_bucket_ids(emb, dim, n_planes, seed)
+    cand = buckets.filter(F.col("bucket").isin(sorted(probes))).select("vec_id")
+    scored = cosine_scores(emb.join(cand, "vec_id", "left_semi"), query_vec)
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
+                             n_planes: int = 10, seed: int = 42) -> DataFrame:
+    """(a, b, cos): embedding-cosine near-dup pairs via LSH bucket
+    self-join → exact verify. The vector analog of dedup.near_dup_pairs."""
+    sample = emb.select("embedding").first()
+    dim = len(sample.embedding)
+    buckets = lsh_bucket_ids(emb, dim, n_planes, seed)
+    l = buckets.select(F.col("bucket"), F.col("vec_id").alias("a"))
+    r = buckets.select(F.col("bucket").alias("bkt2"), F.col("vec_id").alias("b"))
+    cand = l.join(r, (F.col("bucket") == F.col("bkt2")) & (F.col("a") < F.col("b"))).select("a", "b")
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = cand.join(ea, "a").join(eb, "b")
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 4)
+    return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= threshold)

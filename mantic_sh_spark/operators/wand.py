@@ -52,10 +52,11 @@ EPS = 1e-4
 class _Cursor:
     """Lazy-decoding posting-list cursor for one (term, segment)."""
 
-    __slots__ = ("first", "last", "bmax", "gaps", "tfs", "dls", "idf", "ub",
+    __slots__ = ("first", "last", "bmax", "gaps", "tfs", "dls", "idf", "ub", "bf",
                  "k1", "b", "avgdl", "nb", "bi", "docs", "tf_arr", "dl_arr", "pi", "cur")
 
-    def __init__(self, pdf: pd.DataFrame, idf: float, avgdl: float, k1: float, b: float):
+    def __init__(self, pdf: pd.DataFrame, idf: float, avgdl: float, k1: float, b: float,
+                 bound_factor: float = 1.0):
         pdf = pdf.sort_values("first_doc")
         self.first = pdf["first_doc"].to_numpy()
         self.last = pdf["last_doc"].to_numpy()
@@ -65,7 +66,12 @@ class _Cursor:
         self.dls = pdf["dls"].tolist()
         self.nb = len(self.first)
         self.idf = idf
-        self.ub = idf * float(self.bmax.max())  # term upper bound in this segment
+        # bound_factor ≥ 1 inflates build-time maxima when the global
+        # avgdl has drifted upward since this segment was built
+        # (tf_norm is monotone in avgdl with limit ratio new/old) —
+        # keeps the bound sound after incremental extends.
+        self.bf = bound_factor
+        self.ub = idf * float(self.bmax.max()) * bound_factor
         self.k1, self.b, self.avgdl = k1, b, avgdl
         self.bi = -1
         self.docs = None
@@ -125,7 +131,7 @@ class _Cursor:
         bi = self._block_for(d)
         if bi >= self.nb or self.first[bi] > d:
             return 0.0
-        return self.idf * float(self.bmax[bi])
+        return self.idf * float(self.bmax[bi]) * self.bf
 
     def next_boundary(self, d: int) -> int:
         """Smallest doc id > d at which this cursor's block-max bound
@@ -199,13 +205,16 @@ def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 
 def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
-              avgdl: float, k: int, k1: float, b: float):
+              avgdl: float, k: int, k1: float, b: float,
+              bound_factors: dict[int, float] | None = None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        bf = (bound_factors or {}).get(seg, 1.0)
         by_term = {t: g for t, g in pdf.groupby("term")}
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
             cursors = [
-                _Cursor(by_term[t], idf_map[t], avgdl, k1, b)
+                _Cursor(by_term[t], idf_map[t], avgdl, k1, b, bound_factor=bf)
                 for t in terms
                 if t in by_term and idf_map.get(t, 0.0) > 0.0
             ]
@@ -253,9 +262,18 @@ def wand_topk(
     )
     idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
 
+    # per-segment bound inflation for avgdl drift after incremental extends
+    from ..sources.catalog import read_or_none
+
+    bound_factors: dict[int, float] = {}
+    seg_stats = read_or_none(spark, paths.segment_stats)
+    if seg_stats is not None:
+        for r in seg_stats.groupBy("segment_id").agg(F.min("build_avgdl").alias("ba")).collect():
+            bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
+
     blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
     per_seg = blocks.groupBy("segment_id").applyInPandas(
-        _wand_udf(q_map, idf_map, avgdl, k, k1, b),
+        _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors),
         schema="query_id int, doc_id long, score double",
     )
     return rank_topk(per_seg, k)

@@ -1,0 +1,543 @@
+"""Driver-contract query registry: one Spark implementation + one
+ANSI-SQL (DuckDB) oracle per operator claimed in SURVEY.md §2.
+
+Conventions that make the driver's order-insensitive value-hash agree:
+  * every computed column is aliased IDENTICALLY on both sides
+  * ratios/scores → round(x, 4) as DOUBLE on both sides
+  * SQL sums are cast (DuckDB promotes integer sums to HUGEINT,
+    Spark keeps LONG)
+  * LIMIT queries carry a fully deterministic ORDER BY (rounded score
+    desc, id asc)
+  * the tokenizer is the shared lock-step definition
+    (functions/tokenize.py: lower + split on [^a-z0-9]+, drop empties)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text_analysis import STOPWORDS, fingerprint, lang_id, quality_score, rolling_fingerprints, token_stats
+from ..functions.tokenize import tokens_col
+from ..operators import dedup, similarity
+from ..operators.query import bm25_topk
+
+TOK = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+BM25_QUERY = "spark join window"
+MULTI_QUERIES = [(0, "spark join"), (1, "window group row"), (2, "qqabsentterm")]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.withColumn("tokens", tokens_col("text", camel=False)).withColumn(
+        "doc_len", F.size("tokens")
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- core stats
+
+def q_doc_stats(spark, sf_dir):
+    return _docs_tok(spark, sf_dir).select("doc_id", F.col("doc_len").cast("long").alias("doc_len"))
+
+
+SQL_DOC_STATS = f"SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS doc_len FROM documents"
+
+
+def q_collection_stats(spark, sf_dir):
+    return _docs_tok(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), 4).alias("avgdl"),
+    )
+
+
+SQL_COLLECTION_STATS = f"""
+SELECT count(*)::BIGINT AS n_docs, round(avg(CAST(len({TOK}) AS BIGINT)), 4) AS avgdl FROM documents
+"""
+
+
+def q_tf_triples(spark, sf_dir):
+    d = _docs_tok(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+SQL_TF_TRIPLES = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY term, doc_id
+"""
+
+
+def q_df_per_term(spark, sf_dir):
+    return q_tf_triples(spark, sf_dir).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+SQL_DF_PER_TERM = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
+"""
+
+
+def q_term_lookup(spark, sf_dir):
+    return q_tf_triples(spark, sf_dir).filter(F.col("term") == "spark").select("doc_id", "tf")
+
+
+SQL_TERM_LOOKUP = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents)
+SELECT doc_id, count(*)::BIGINT AS tf FROM tok WHERE term = 'spark' GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- BM25
+
+def _bm25_sql(queries: list[tuple[int, str]], k: int = 10, per_query: bool = True) -> str:
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    rank_part = "PARTITION BY query_id " if per_query else ""
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+qraw AS (SELECT * FROM (VALUES {qvals}) AS t(query_id, qtext)),
+q AS (SELECT DISTINCT query_id, unnest(list_filter(string_split_regex(lower(qtext), '[^a-z0-9]+'), t -> t <> '')) AS term FROM qraw),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+sc AS (
+  SELECT q.query_id, tf.doc_id,
+         sum( ln((stats.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+            * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN q USING(term) JOIN dft USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, doc_id, round(score, 4) AS score,
+         row_number() OVER ({rank_part}ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM sc)
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, score FROM ranked WHERE rn <= {k}
+"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    res = bm25_topk(spark, _docs_tok(spark, sf_dir), [(0, BM25_QUERY)], k=10)
+    return res.select("doc_id", "score")
+
+
+SQL_BM25_TOPK = f"""
+SELECT doc_id, score FROM ({_bm25_sql([(0, BM25_QUERY)])})
+"""
+
+
+def q_bm25_multi(spark, sf_dir):
+    return bm25_topk(spark, _docs_tok(spark, sf_dir), MULTI_QUERIES, k=10).select(
+        "query_id", "doc_id", "score"
+    )
+
+
+SQL_BM25_MULTI = _bm25_sql(MULTI_QUERIES)
+
+
+# ---------------------------------------------------------------- filters / windows / sets
+
+def q_phrase_match(spark, sf_dir):
+    return _docs(spark, sf_dir).filter(F.col("text").contains("spark join")).select("doc_id")
+
+
+SQL_PHRASE_MATCH = "SELECT doc_id FROM documents WHERE text LIKE '%spark join%'"
+
+
+def q_topn_per_lang(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3).select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
+SQL_TOPN_PER_LANG = """
+SELECT lang, doc_id, n_chars FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 3
+"""
+
+
+def q_stale_diff(spark, sf_dir):
+    """A10: snapshot diff via full outer join — the resume primitive."""
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.pmod("doc_id", F.lit(5)) != 0).select("doc_id", F.col("n_chars").alias("v_old"))
+    new = d.filter(F.pmod("doc_id", F.lit(7)) != 0).select(
+        "doc_id",
+        (F.col("n_chars") + F.when(F.pmod("doc_id", F.lit(3)) == 0, 1).otherwise(0)).alias("v_new"),
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("v_old").isNull(), F.lit("added"))
+        .when(F.col("v_new").isNull(), F.lit("deleted"))
+        .when(F.col("v_old") != F.col("v_new"), F.lit("modified"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("doc_id", status.alias("status")).filter(F.col("status") != "unchanged")
+
+
+SQL_STALE_DIFF = """
+WITH old AS (SELECT doc_id, n_chars AS v_old FROM documents WHERE doc_id % 5 <> 0),
+new AS (SELECT doc_id, n_chars + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS v_new
+        FROM documents WHERE doc_id % 7 <> 0)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN v_old IS NULL THEN 'added'
+            WHEN v_new IS NULL THEN 'deleted'
+            WHEN v_old <> v_new THEN 'modified'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new USING(doc_id)
+WHERE (CASE WHEN v_old IS NULL THEN 'added' WHEN v_new IS NULL THEN 'deleted'
+            WHEN v_old <> v_new THEN 'modified' ELSE 'unchanged' END) <> 'unchanged'
+"""
+
+
+def q_union_working_set(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("source") == "src1").select("doc_id")
+    return a.union(b).distinct()
+
+
+SQL_UNION_WORKING_SET = """
+SELECT doc_id FROM documents WHERE lang = 'en'
+UNION
+SELECT doc_id FROM documents WHERE source = 'src1'
+"""
+
+
+def q_except_retained(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    a = d.filter(F.col("lang") == "en").select("doc_id")
+    b = d.filter(F.col("n_chars") > 300).select("doc_id")
+    return a.exceptAll(b)
+
+
+SQL_EXCEPT_RETAINED = """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT ALL
+SELECT doc_id FROM documents WHERE n_chars > 300
+"""
+
+
+def q_source_histogram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("source"))
+        .limit(3)
+    )
+
+
+SQL_SOURCE_HISTOGRAM = """
+SELECT source, count(*)::BIGINT AS cnt FROM documents GROUP BY source
+ORDER BY cnt DESC, source ASC LIMIT 3
+"""
+
+
+def q_keyword_overlap(spark, sf_dir):
+    terms = dedup.doc_terms(_docs(spark, sf_dir))
+    a = terms.select(F.col("doc_id").alias("a"), "term")
+    b = terms.select((F.col("doc_id") - 1).alias("a"), "term")
+    inter = a.join(b, ["a", "term"]).groupBy("a").agg(F.count(F.lit(1)).alias("ix"))
+    sza = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz")).withColumnRenamed("doc_id", "a")
+    return (
+        inter.join(sza, "a")
+        .select(F.col("a").alias("doc_id"), F.round(F.col("ix") / F.col("sz"), 4).alias("overlap"))
+    )
+
+
+SQL_KEYWORD_OVERLAP = f"""
+WITH terms AS (SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents),
+inter AS (SELECT t1.doc_id AS a, count(*)::BIGINT AS ix
+          FROM terms t1 JOIN terms t2 ON t2.doc_id = t1.doc_id + 1 AND t2.term = t1.term
+          GROUP BY 1),
+sz AS (SELECT doc_id AS a, count(*)::BIGINT AS sz FROM terms GROUP BY 1)
+SELECT a AS doc_id, round(ix * 1.0 / sz, 4) AS overlap FROM inter JOIN sz USING(a)
+"""
+
+
+# ---------------------------------------------------------------- events (relational ops)
+
+def q_recency_agg(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+SQL_RECENCY_AGG = """
+SELECT event_type, count(*)::BIGINT AS cnt, round(avg(value), 4) AS avg_value
+FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type
+"""
+
+
+def q_in_degree(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    deg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("indeg"))
+    w = Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    mx = deg.agg(F.max("indeg").alias("mx"))
+    return deg.crossJoin(F.broadcast(mx)).select(
+        "user_id", "indeg", F.round(F.col("indeg") * 100.0 / F.col("mx"), 4).alias("rank100")
+    )
+
+
+SQL_IN_DEGREE = """
+WITH deg AS (SELECT user_id, count(*)::BIGINT AS indeg FROM events GROUP BY 1)
+SELECT user_id, indeg, round(indeg * 100.0 / max(indeg) OVER (), 4) AS rank100 FROM deg
+"""
+
+
+def q_score_distribution(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.max("value"), 4).alias("max_v"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med_v"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+    )
+
+
+SQL_SCORE_DISTRIBUTION = """
+SELECT event_type, round(max(value), 4) AS max_v,
+       round(quantile_cont(value, 0.5), 4) AS med_v,
+       round(avg(value), 4) AS avg_v
+FROM events GROUP BY event_type
+"""
+
+
+def q_top_revenue(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE = """
+SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- text analysis
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_docs(spark, sf_dir))
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct({TOK})) AS BIGINT) AS n_distinct,
+       CAST(length(text) AS BIGINT) AS n_chars_seen
+FROM documents
+"""
+
+_SW = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_SCORE = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n,
+             len(list_filter(toks, x -> list_contains({_SW}, x))) AS n_stop,
+             len(list_distinct(toks)) AS n_dist
+      FROM t)
+SELECT doc_id,
+       round(0.4 * least(1.0, n / 100.0)
+           + 0.3 * (CASE WHEN n > 0 THEN n_stop * 1.0 / n ELSE 0.0 END)
+           + 0.3 * (CASE WHEN n > 0 THEN n_dist * 1.0 / n ELSE 0.0 END), 4) AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(_docs(spark, sf_dir))
+
+
+SQL_LANG_ID = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n,
+             len(list_filter(toks, x -> list_contains({_SW}, x))) AS n_stop FROM t)
+SELECT doc_id, CASE WHEN (CASE WHEN n > 0 THEN n_stop * 1.0 / n ELSE 0.0 END) >= 0.03
+                    THEN 'en' ELSE 'other' END AS pred_lang
+FROM m
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir))
+
+
+SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def q_rolling_fp(spark, sf_dir):
+    return rolling_fingerprints(_docs(spark, sf_dir).filter(F.col("doc_id") < 10), window=8)
+
+
+SQL_ROLLING_FP = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents WHERE doc_id < 10)
+SELECT doc_id, CAST(x['pos'] AS INTEGER) AS pos, x['rfp'] AS rfp FROM (
+  SELECT doc_id, unnest(list_transform(range(0, len(toks) - 7),
+         i -> {{'pos': i, 'rfp': md5(array_to_string(toks[i+1:i+8], ' '))}})) AS x
+  FROM t WHERE len(toks) >= 8)
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_minhash_sig(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_hashes=8)
+
+
+SQL_MINHASH_SIG = f"""
+WITH terms AS (SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents),
+sigs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sig_id)
+SELECT doc_id, sig_id,
+       min(CAST(('0x' || substr(md5(term || '#' || sig_id), 1, 15)) AS BIGINT)) AS minhash
+FROM terms CROSS JOIN sigs GROUP BY doc_id, sig_id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash16(_docs(spark, sf_dir))
+
+
+SQL_SIMHASH = f"""
+WITH tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM
+    (SELECT doc_id, unnest({TOK}) AS term FROM documents) GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, CAST(('0x' || substr(md5(term || '#sim'), 1, 15)) AS BIGINT) AS h FROM tf),
+votes AS (
+  SELECT doc_id, bit, CAST(sum((((h >> bit) & 1) * 2 - 1) * tf) AS BIGINT) AS v
+  FROM h CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INTEGER) AS bit) GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1 << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
+    sh = dedup.doc_terms(d).withColumnRenamed("term", "shingle")
+    return dedup.jaccard_pairs(sh, threshold=0.15)
+
+
+SQL_JACCARD_PAIRS = f"""
+WITH terms AS (SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents WHERE doc_id < 150),
+sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM terms GROUP BY 1),
+ix AS (SELECT t1.doc_id AS a, t2.doc_id AS b, count(*)::BIGINT AS ix
+       FROM terms t1 JOIN terms t2 ON t1.term = t2.term AND t1.doc_id < t2.doc_id
+       GROUP BY 1, 2)
+SELECT a, b, jac FROM (
+  SELECT a, b, round(ix * 1.0 / (s1.sz + s2.sz - ix), 4) AS jac
+  FROM ix JOIN sz s1 ON s1.doc_id = a JOIN sz s2 ON s2.doc_id = b)
+WHERE jac >= 0.15
+"""
+
+
+def q_shingles_sample(spark, sf_dir):
+    return dedup.ngram_shingles(_docs(spark, sf_dir).filter(F.col("doc_id") < 20), n=3)
+
+
+SQL_SHINGLES_SAMPLE = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents WHERE doc_id < 20)
+SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+FROM t WHERE len(toks) >= 3
+"""
+
+
+# ---------------------------------------------------------------- similarity
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
+    return similarity.cosine_topk(emb, list(qvec), k=10, exclude_id=0).select("vec_id", "cos")
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id,
+        list_sum(list_transform(range(1, len(e.embedding) + 1),
+            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS dot,
+        sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+        sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+SELECT vec_id, cos FROM (
+  SELECT vec_id, round(dot / (na * nb), 4) AS cos FROM s)
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+REGISTRY: dict[str, tuple] = {
+    # name: (spark_fn, oracle_sql_or_None)
+    "doc_stats": (q_doc_stats, SQL_DOC_STATS),
+    "collection_stats": (q_collection_stats, SQL_COLLECTION_STATS),
+    "tf_triples": (q_tf_triples, SQL_TF_TRIPLES),
+    "df_per_term": (q_df_per_term, SQL_DF_PER_TERM),
+    "term_lookup": (q_term_lookup, SQL_TERM_LOOKUP),
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_multi": (q_bm25_multi, SQL_BM25_MULTI),
+    "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
+    "topn_per_lang": (q_topn_per_lang, SQL_TOPN_PER_LANG),
+    "stale_diff": (q_stale_diff, SQL_STALE_DIFF),
+    "union_working_set": (q_union_working_set, SQL_UNION_WORKING_SET),
+    "except_retained": (q_except_retained, SQL_EXCEPT_RETAINED),
+    "source_histogram": (q_source_histogram, SQL_SOURCE_HISTOGRAM),
+    "keyword_overlap": (q_keyword_overlap, SQL_KEYWORD_OVERLAP),
+    "recency_agg": (q_recency_agg, SQL_RECENCY_AGG),
+    "in_degree": (q_in_degree, SQL_IN_DEGREE),
+    "score_distribution": (q_score_distribution, SQL_SCORE_DISTRIBUTION),
+    "top_revenue": (q_top_revenue, SQL_TOP_REVENUE),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "rolling_fp": (q_rolling_fp, SQL_ROLLING_FP),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
+    "simhash16": (q_simhash, SQL_SIMHASH),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
+    "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+}

@@ -68,6 +68,12 @@ class IndexPaths:
         return os.path.join(self.root, "collection_stats")
 
     @property
+    def segment_stats(self) -> str:
+        # per-segment build-time stats (build_avgdl) — lets the WAND
+        # bound stay sound when incremental builds drift the global avgdl
+        return os.path.join(self.root, "segment_stats")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "build_manifest")
 

@@ -1,0 +1,108 @@
+"""Incremental index maintenance (ST1/ST2 in SURVEY.md §2.9).
+
+Reference analog: `updateIncrementally` re-parses only added/modified
+docs and deletes removed ones (src/cache.ts:191-219), with staleness
+decided by a manifest diff (src/cache.ts:147-186). Here new pages are
+folded in as FRESH segments:
+
+  * new docs get fresh segment ids (max existing + 1 …) and therefore
+    fresh, disjoint doc-id ranges — old segments are immutable (the
+    LSM discipline; operators/merge.py folds segments later);
+  * collection_stats (n_docs, avgdl) is recomputed over ALL norms;
+  * existing segments' block maxima were computed at their build-time
+    avgdl; query-side bounds are inflated by max(1, avgdl_now /
+    build_avgdl) per segment — a proven upper bound since tf_norm is
+    monotone in avgdl with limit ratio avgdl_now/avgdl_build — so WAND
+    stays exact under drift (see operators/wand.py).
+
+`stream_index` wraps the same fold in Structured Streaming
+(availableNow + foreachBatch) for directory-fed ingestion.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.docs import build_docs, collection_stats, doc_stats
+from ..operators.index_build import build_postings_for_segments
+from ..sources.catalog import IndexPaths, append_manifest
+
+
+def extend_index(
+    spark: SparkSession,
+    index_dir: str,
+    new_pages: DataFrame,
+    n_new_segments: int = 4,
+) -> list[int]:
+    """Fold new pages into an existing index as fresh segments.
+    Returns the new segment ids."""
+    paths = IndexPaths(index_dir)
+    existing = spark.read.parquet(paths.docs)
+    seg_base = existing.agg(F.max("segment_id")).collect()[0][0] + 1
+
+    t0 = time.time()
+    new_docs = build_docs(new_pages, n_segments=n_new_segments, segment_offset=seg_base)
+    (
+        new_docs.drop("tokens")
+        .repartition("segment_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("append")
+        .partitionBy("segment_id")
+        .parquet(paths.docs)
+    )
+    all_docs = spark.read.parquet(paths.docs)
+    doc_stats(all_docs).filter(F.col("segment_id") >= seg_base).repartition(
+        "segment_id"
+    ).write.mode("append").partitionBy("segment_id").parquet(paths.norms)
+    # recompute global stats over the norms table (cheap columnar agg)
+    norms = spark.read.parquet(paths.norms)
+    new_stats = norms.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    row = new_stats.collect()[0]
+    spark.createDataFrame([(row.n_docs, row.avgdl)], "n_docs long, avgdl double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(paths.collection_stats)
+
+    from ..functions.tokenize import tokens_col
+
+    batch = all_docs.filter(F.col("segment_id") >= seg_base).withColumn("tokens", tokens_col("text"))
+    segs = [r.segment_id for r in batch.select("segment_id").distinct().collect()]
+    rows = build_postings_for_segments(spark, batch, paths, segs, avgdl=float(row.avgdl))
+    for r in rows:
+        r["started_at"] = t0
+    append_manifest(spark, paths, rows)
+    append_manifest(
+        spark,
+        paths,
+        [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": row.n_docs, "started_at": t0}],
+    )
+    return segs
+
+
+def stream_index(
+    spark: SparkSession,
+    pages_glob: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    n_new_segments: int = 2,
+):
+    """Structured-Streaming ingestion: each availableNow micro-batch of
+    newly arrived page files is folded in via extend_index. Spark's
+    checkpoint gives exactly-once batch tracking; the index manifest
+    gives per-segment lineage inside each fold."""
+    stream = spark.readStream.schema(schema).parquet(pages_glob)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        extend_index(spark, index_dir, batch_df, n_new_segments=n_new_segments)
+
+    return (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,72 @@
+"""Dedup suite: exact + MinHash-LSH + SimHash on a corpus with PLANTED
+duplicates and near-duplicates."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mantic_sh_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely different content about spark shuffles and partitions at scale",
+        "a third document mentioning inverted indexes postings and compression",
+    ]
+    rows = []
+    did = 0
+    for i, b in enumerate(base):
+        for copy in range(3):  # 3 exact copies of each
+            rows.append((did, b))
+            did += 1
+    # near-dup: one token changed (high jaccard vs base[0])
+    rows.append((did, base[0].replace("dog", "cat"))); did += 1
+    # unrelated docs
+    for j in range(20):
+        rows.append((did, f"unique filler text number {j} with tokens alpha{j} beta{j} gamma{j} delta{j} epsilon{j} zeta{j}"))
+        did += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(planted):
+    kept = dedup.exact_dedup(planted)
+    rows = {r.doc_id: r.n_dupes for r in kept.collect()}
+    assert rows[0] == 3 and rows[3] == 3 and rows[6] == 3
+    assert sum(v for v in rows.values()) == planted.count()
+    # keepers are the min doc_id of each dup group
+    assert 1 not in rows and 2 not in rows
+
+
+def test_minhash_lsh_finds_near_dups(planted):
+    pairs = {(r.a, r.b) for r in dedup.lsh_candidate_pairs(planted).collect()}
+    # exact copies always collide on every band
+    assert (0, 1) in pairs and (0, 2) in pairs and (3, 4) in pairs
+    # the near-dup (doc 9: one token changed) should collide on ≥1 band
+    assert (0, 9) in pairs or (1, 9) in pairs or (2, 9) in pairs
+
+
+def test_near_dup_pipeline_verifies_jaccard(planted):
+    out = {(r.a, r.b): r.jac for r in dedup.near_dup_pairs(planted, threshold=0.5).collect()}
+    assert out[(0, 1)] == 1.0  # exact copies
+    near = [k for k in out if 9 in k]
+    assert near, "near-dup pair must survive jaccard verification"
+    assert all(out[k] >= 0.5 for k in near)
+    # unrelated docs never pair
+    assert not any(a >= 10 or b >= 10 for a, b in out if a != b and (a < 9 or b < 9) and max(a, b) >= 10)
+
+
+def test_simhash_close_for_near_dups(planted):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash16(planted).collect()}
+    assert sh[0] == sh[1] == sh[2]  # identical docs → identical simhash
+    ham = bin(sh[0] ^ sh[9]).count("1")
+    assert ham <= 6, f"near-dup hamming distance too large: {ham}"
+    far = bin(sh[0] ^ sh[12]).count("1")
+    assert far >= ham
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    got = sorted(r.shingle for r in dedup.ngram_shingles(df, n=3).collect())
+    assert got == ["a b c", "b c d"]
