@@ -43,14 +43,21 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
 
 
+def varint_nbytes(values: np.ndarray) -> np.ndarray:
+    """Per-value LEB128 encoded length (vectorized)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += v >= t
+    return nbytes
+
+
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-encode an array of non-negative ints, vectorized."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    nbytes = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nbytes += v >= t
+    nbytes = varint_nbytes(v)
     total = int(nbytes.sum())
     out = np.zeros(total, dtype=np.uint8)
     pos = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
@@ -152,3 +159,181 @@ def decode_block(doc_gaps: bytes, tfs: bytes, dls: bytes) -> tuple[np.ndarray, n
         varint_decode(tfs).astype(np.int64),
         varint_decode(dls).astype(np.int64),
     )
+
+
+def _slice_per_block(buf: bytes, offsets: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list[bytes]:
+    """Slice one big varint buffer into per-block byte strings.
+    offsets[i] = byte position of value i; the only per-block Python
+    work is a memcpy slice."""
+    so = offsets[starts]
+    eo = offsets[ends]
+    return [buf[a:b] for a, b in zip(so.tolist(), eo.tolist())]
+
+
+def encode_groups(
+    group_starts: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode MANY posting lists in one vectorized pass.
+
+    Input arrays hold the concatenation of all groups' postings, sorted
+    by doc_id within each group; group_starts marks where each group
+    begins. One varint buffer is built per column for the WHOLE batch
+    and sliced per block — the per-group/per-block Python cost is one
+    bytes-slice, which is what lets the salted build encode ~10^5
+    groups per task without per-group pandas overhead.
+
+    Returns columnar dict: group_idx (block → input group), first_doc,
+    last_doc, block_max, n, doc_gaps, tfs, dls.
+    """
+    n = len(doc_ids)
+    if n == 0:
+        return {k: [] for k in ("group_idx", "first_doc", "last_doc", "block_max", "n", "doc_gaps", "tfs", "dls")}
+    g = np.ascontiguousarray(group_starts, dtype=np.int64)
+    doc = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tf = np.ascontiguousarray(tfs, dtype=np.int64)
+    dl = np.ascontiguousarray(dls, dtype=np.int64)
+
+    # block segmentation: within each group, a block every block_size
+    lens = np.diff(np.append(g, n))
+    nb = (lens + block_size - 1) // block_size
+    total_blocks = int(nb.sum())
+    # arange-within-group: 0,1,..,nb[i]-1 for each group i
+    rep_ends = np.cumsum(nb)
+    within = np.arange(total_blocks, dtype=np.int64) - np.repeat(rep_ends - nb, nb)
+    bstarts = np.repeat(g, nb) + within * block_size
+    bends = np.minimum(bstarts + block_size, np.repeat(g + lens, nb))
+    group_idx = np.repeat(np.arange(len(g), dtype=np.int64), nb)
+
+    # gaps: global diff, reset to absolute at every BLOCK start
+    gaps = np.empty(n, dtype=np.int64)
+    gaps[0] = doc[0]
+    np.subtract(doc[1:], doc[:-1], out=gaps[1:])
+    gaps[bstarts] = doc[bstarts]
+
+    norms = tf_norm(tf, dl, avgdl, k1, b)
+    bmax = np.maximum.reduceat(norms, bstarts)
+
+    out = {
+        "group_idx": group_idx,
+        "first_doc": doc[bstarts],
+        "last_doc": doc[bends - 1],
+        "block_max": bmax,
+        "n": (bends - bstarts).astype(np.int32),
+    }
+    for name, arr in (("doc_gaps", gaps), ("tfs", tf), ("dls", dl)):
+        nbytes = varint_nbytes(arr)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nbytes, out=offsets[1:])
+        buf = varint_encode(arr)
+        out[name] = _slice_per_block(buf, offsets, bstarts, bends)
+    return out
+
+
+# --------------------------------------------------------------------
+# Streaming multi-group encoder used by the build's mapInArrow stage.
+# Lives HERE (numpy/pyarrow-only module) so that unpickling the UDF
+# closure in fresh Python workers does not drag in pandas/pyspark.sql
+# imports — worker cold-start is a measurable serial cost per stage.
+def encode_table(tbl, avgdl: float, k1: float, b: float):
+    """Encode a sorted run of COMPLETE (term, segment, salt) groups of
+    raw token rows into block rows — fully vectorized, zero pandas.
+
+    Input rows are one-per-token-occurrence (no pre-aggregated tf);
+    because the run is sorted by (term, segment, salt, doc_id),
+    occurrences of a term in one doc are adjacent and tf falls out of a
+    run-length pass — this is what lets the build do ONE shuffle
+    (map-side combine would need its own shuffle to be useful here).
+
+    Operating on Arrow directly matters: converting ~10^7 term strings
+    per task to pandas objects is allocator-bound and anti-scales with
+    executor threads; pyarrow.compute string comparisons stay in C++
+    buffers and the output term column is a `take` of the input."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = tbl.num_rows
+    term = tbl.column("term").combine_chunks()
+    if isinstance(term, pa.ChunkedArray):
+        term = term.chunk(0) if term.num_chunks == 1 else pa.concat_arrays(term.chunks)
+    seg = tbl.column("segment_id").to_numpy()
+    salt = tbl.column("salt").to_numpy()
+    doc = tbl.column("doc_id").to_numpy()
+    dl = tbl.column("doc_len").to_numpy()
+
+    gchanged = np.empty(n, dtype=bool)
+    gchanged[0] = True
+    gchanged[1:] = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
+        zero_copy_only=False
+    )
+    gchanged[1:] |= (seg[1:] != seg[:-1]) | (salt[1:] != salt[:-1])
+    # posting boundary: group change OR doc change (run-length tf)
+    pchanged = gchanged.copy()
+    pchanged[1:] |= doc[1:] != doc[:-1]
+    pstarts = np.flatnonzero(pchanged)
+    tf = np.diff(np.append(pstarts, n))
+    grows = np.flatnonzero(gchanged)
+    # group starts re-expressed in posting index space
+    gstarts = np.searchsorted(pstarts, grows)
+    enc = encode_groups(gstarts, doc[pstarts], tf, dl[pstarts], avgdl, k1, b)
+    gi = enc.pop("group_idx")
+    tidx = grows[gi]
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(term, pa.array(tidx)),
+            pa.array(seg[tidx].astype(np.int32)),
+            pa.array(np.asarray(enc["first_doc"], dtype=np.int64)),
+            pa.array(np.asarray(enc["last_doc"], dtype=np.int64)),
+            pa.array(np.asarray(enc["block_max"], dtype=np.float64)),
+            pa.array(np.asarray(enc["n"], dtype=np.int32)),
+            pa.array(enc["doc_gaps"], pa.binary()),
+            pa.array(enc["tfs"], pa.binary()),
+            pa.array(enc["dls"], pa.binary()),
+        ],
+        names=["term", "segment_id", "first_doc", "last_doc", "block_max", "n", "doc_gaps", "tfs", "dls"],
+    )
+
+
+def encode_stream_fn(avgdl: float, k1: float, b: float):
+    """mapInArrow encoder over a partition sorted by
+    (term, segment_id, salt, doc_id): Arrow batch boundaries can split
+    a group, so the trailing (possibly incomplete) group of each batch
+    is carried into the next. Carry size is bounded by CHUNK_SIZE
+    postings (the salt guarantees no group exceeds one doc-id chunk)."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        carry = None
+        for rb in batches:
+            tbl = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tbl = pa.concat_tables([carry, tbl]).combine_chunks()
+            n = tbl.num_rows
+            if not n:
+                continue
+            # trailing rows belonging to the last (term, seg, salt) group
+            # (sorted input ⇒ they are exactly the rows equal to the last key)
+            tail = pc.equal(tbl.column("term"), tbl.column("term")[n - 1]).to_numpy(
+                zero_copy_only=False
+            )
+            seg = tbl.column("segment_id").to_numpy()
+            salt = tbl.column("salt").to_numpy()
+            tail &= (seg == seg[n - 1]) & (salt == salt[n - 1])
+            cut = n - int(tail.sum())
+            carry = tbl.slice(cut)
+            if cut:
+                yield encode_table(tbl.slice(0, cut), avgdl, k1, b)
+        if carry is not None and carry.num_rows:
+            yield encode_table(carry.combine_chunks(), avgdl, k1, b)
+
+    return run

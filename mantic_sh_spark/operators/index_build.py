@@ -1,29 +1,29 @@
 """Inverted-index build: triples → salted posting blocks → segments,
 with a resumable per-segment manifest (A1/A10/O6/O10 in SURVEY.md).
 
-Pipeline (all DataFrame + applyInPandas; no per-row Python):
+Pipeline (all DataFrame + mapInArrow; no per-row Python):
 
   pages ── extract ── build_docs ──► docs table        (stage 'docs')
-                     │
-                     ├─► collection_stats (n_docs, avgdl)
-                     ├─► norms (doc_id, doc_len) / segment
-                     └─► explode(tokens) → groupBy(doc,term) [map-side
-                         partial agg] → (term, doc_id, tf, doc_len,
-                         segment_id, salt)
-                             │  groupBy(term, segment_id, salt)
-                             │  ← THE salted repartition: head terms
-                             │    split across doc-range chunks, so no
-                             │    reducer ever sees more than
-                             │    CHUNK_SIZE postings for one term
+                     │                └─► norms, collection_stats
+                     └─► explode(tokens) → raw (term, doc_id, doc_len,
+                         segment_id, salt) token rows
+                             │  repartition(term, segment_id, salt)
+                             │  + sortWithinPartitions(..., doc_id)
+                             │  ← THE salted repartition — the build's
+                             │    single wide shuffle. Head terms split
+                             │    across doc-range chunks, so no task
+                             │    ever holds more than CHUNK_SIZE
+                             │    postings for one term; tf falls out
+                             │    of a run-length pass over the sort
                              ▼
-                         applyInPandas encode → block rows
+                         mapInArrow vectorized encode → block rows
                              │  (blocks carry absolute first_doc ⇒
                              │   chunk outputs concatenate in doc-id
                              │   order with no second merge pass)
                              ▼
             postings/segment_id=K (sorted by term, first_doc)
-            terms/segment_id=K    (df, max_tf_norm — Catalyst agg)
-            build_manifest        (per-segment lineage + metrics)
+            terms/segment_id=K    (df, max_tf_norm, bytes — Catalyst agg)
+            build_manifest        (per-segment lineage + metrics + build_avgdl)
 
 Resume (reference analog: stale-file diff src/cache.ts:147-186): a
 segment whose manifest row says done is skipped; a killed build
@@ -33,6 +33,7 @@ re-runs only pending segments and produces a byte-identical index
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Iterable
 
@@ -41,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
+from ..functions.codec import encode_stream_fn
 from ..functions.bm25 import B, K1
 from ..sources.catalog import IndexPaths, append_manifest, done_segments, read_or_none
 from .docs import build_docs, collection_stats, doc_stats
@@ -49,6 +51,17 @@ BLOCK_ROW_SCHEMA = (
     "term string, segment_id int, first_doc long, last_doc long, "
     "block_max double, n int, doc_gaps binary, tfs binary, dls binary"
 )
+
+_TRACE = os.environ.get("MANTIC_TRACE_TIMING", "") not in ("", "0")
+
+
+def _trace(label: str, t0: float) -> float:
+    """Opt-in stage timing (MANTIC_TRACE_TIMING=1): prints elapsed per
+    build stage — the local-mode stand-in for Spark UI stage metrics."""
+    t1 = time.time()
+    if _TRACE:
+        print(f"[build-timing] {label}: {t1 - t0:.1f}s", flush=True)
+    return t1
 
 
 def tf_triples(docs: DataFrame) -> DataFrame:
@@ -69,34 +82,21 @@ def tf_triples(docs: DataFrame) -> DataFrame:
     )
 
 
-def _encode_fn(avgdl: float, k1: float, b: float):
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        blocks = codec.encode_blocks(
-            pdf["doc_id"].to_numpy(),
-            pdf["tf"].to_numpy(),
-            pdf["doc_len"].to_numpy(),
-            avgdl,
-            k1,
-            b,
-        )
-        term = pdf["term"].iloc[0]
-        seg = int(pdf["segment_id"].iloc[0])
-        return pd.DataFrame(
-            {
-                "term": term,
-                "segment_id": seg,
-                "first_doc": [bl.first_doc for bl in blocks],
-                "last_doc": [bl.last_doc for bl in blocks],
-                "block_max": [bl.block_max for bl in blocks],
-                "n": [bl.n for bl in blocks],
-                "doc_gaps": [bl.doc_gaps for bl in blocks],
-                "tfs": [bl.tfs for bl in blocks],
-                "dls": [bl.dls for bl in blocks],
-            }
-        )
-
-    return encode
+def _list_segments(spark: SparkSession, path: str) -> list[int]:
+    """Enumerate segment_id=* partition dirs via the FileSystem API —
+    pure metadata, no Spark job (Iceberg analog: partitions metadata
+    table)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("segment_id="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
 
 
 def _delete_path(spark: SparkSession, path: str) -> None:
@@ -132,9 +132,19 @@ def build_postings_for_segments(
         return []
     started = time.time()
     batch = docs.filter(F.col("segment_id").isin(segs))
-    triples = tf_triples(batch)
-    blocks = triples.groupBy("term", "segment_id", "salt").applyInPandas(
-        _encode_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA
+    toks = batch.select(
+        "segment_id", "salt", "doc_id", "doc_len", F.explode("tokens").alias("term")
+    )
+    # THE salted repartition — the build's single wide shuffle: all rows
+    # of a (term, segment, salt) group land in one partition, sorted so
+    # groups are contiguous runs (and a doc's occurrences of a term are
+    # adjacent ⇒ tf by run-length, no separate pre-agg shuffle). The
+    # vectorized stream encoder amortizes cost over ~10^5 groups per
+    # task instead of paying per-group pandas overhead.
+    blocks = (
+        toks.repartition("term", "segment_id", "salt")
+        .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
+        .mapInArrow(encode_stream_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA)
     )
     # One writer partition per segment → one sorted run per segment dir;
     # row-group min/max stats on `term` give query-time block pruning.
@@ -145,34 +155,42 @@ def build_postings_for_segments(
         .partitionBy("segment_id")
         .parquet(paths.postings)
     )
-    # Term directory: per-(segment, term) df + score upper bound. Pure
-    # Catalyst agg over the committed blocks (re-read → lineage cut).
+    _t = _trace("postings encode+write", started)
+    # Term directory: per-(segment, term) df + score upper bound +
+    # compressed size. ONE Catalyst agg pass over the committed blocks
+    # (re-read → lineage cut); build metrics then come from this tiny
+    # sidecar instead of a second scan of the postings table.
     written = spark.read.parquet(paths.postings).filter(F.col("segment_id").isin(segs))
     terms = written.groupBy("segment_id", "term").agg(
         F.sum("n").alias("df"),
         F.max("block_max").alias("max_tf_norm"),
+        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
     )
     terms.repartition("segment_id").sortWithinPartitions("term").write.mode("append").partitionBy(
         "segment_id"
     ).parquet(paths.terms)
+    _t = _trace("terms dir", _t)
 
     metrics = (
-        written.groupBy("segment_id")
+        spark.read.parquet(paths.terms)
+        .filter(F.col("segment_id").isin(segs))
+        .groupBy("segment_id")
         .agg(
-            F.sum("n").alias("n_postings"),
-            F.count_distinct("term").alias("n_terms"),
-            (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
+            F.sum("df").alias("n_postings"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("bytes").alias("bytes"),
         )
         .collect()
     )
     n_docs_by_seg = {
         r.segment_id: r.n
-        for r in batch.groupBy("segment_id").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in spark.read.parquet(paths.norms)
+        .filter(F.col("segment_id").isin(segs))
+        .groupBy("segment_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     }
-    seg_stats = [(int(s), float(avgdl)) for s in segs]
-    spark.createDataFrame(seg_stats, "segment_id int, build_avgdl double").coalesce(1).write.mode(
-        "append"
-    ).parquet(paths.segment_stats)
+    _t = _trace("metrics", _t)
     finished = time.time()
     return [
         {
@@ -185,6 +203,7 @@ def build_postings_for_segments(
             "bytes": r.bytes,
             "started_at": started,
             "finished_at": finished,
+            "build_avgdl": float(avgdl),
         }
         for r in metrics
     ]
@@ -209,10 +228,12 @@ def build_index(
     granularity; None = all pending segments in one job.
     """
     paths = IndexPaths(index_dir)
+    _t0 = time.time()
 
     # ---- stage 'docs': ids + stats, committed once ----
     if -1 not in done_segments(spark, paths, stage="docs"):
         t0 = time.time()
+        _t = _trace("done_segments(docs)", _t0)
         docs = build_docs(pages, n_segments=n_segments)
         (
             docs.drop("tokens")
@@ -222,18 +243,26 @@ def build_index(
             .partitionBy("segment_id")
             .parquet(paths.docs)
         )
+        _t = _trace("docs write", _t)
+        # norms = 3-column pruned scan of the committed docs; collection
+        # stats then aggregate the TINY norms sidecar (and carry n_docs),
+        # so the wide docs table is scanned exactly once here.
         docs_read = spark.read.parquet(paths.docs)
-        collection_stats(docs_read).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
         doc_stats(docs_read).repartition("segment_id").write.mode("overwrite").partitionBy(
             "segment_id"
         ).parquet(paths.norms)
-        n_docs = docs_read.count()
+        collection_stats(spark.read.parquet(paths.norms)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(paths.collection_stats)
+        _t = _trace("norms+collection_stats", _t)
+        n_docs = spark.read.parquet(paths.collection_stats).collect()[0].n_docs
         append_manifest(
             spark,
             paths,
             [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs, "started_at": t0}],
         )
 
+    _t = _trace("docs-stage manifest", _t0)
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
     avgdl = float(stats.avgdl)
 
@@ -241,13 +270,20 @@ def build_index(
     from ..functions.tokenize import tokens_col  # re-derive tokens (cheap JVM regex)
 
     docs = docs.withColumn("tokens", tokens_col("text"))
+    _t = _trace("docs re-read", _t)
 
-    all_segs = sorted(r.segment_id for r in docs.select("segment_id").distinct().collect())
-    pending = [s for s in all_segs if s not in done_segments(spark, paths, stage="postings")]
+    # segment enumeration from the partition directory listing — a
+    # metadata operation, no table scan (Iceberg: partitions metadata table)
+    all_segs = _list_segments(spark, paths.docs)
+    _t = _trace("list_segments", _t)
+    done = done_segments(spark, paths, stage="postings")
+    pending = [s for s in all_segs if s not in done]
     if not pending:
         return paths
 
+    _t = _trace("seg discovery", _t)
     _cleanup_uncommitted(spark, paths, pending)
+    _t = _trace("cleanup", _t)
     bs = batch_segments or len(pending)
     batches = [pending[i : i + bs] for i in range(0, len(pending), bs)]
     if max_batches is not None:

@@ -128,7 +128,11 @@ def merge_segments(
     _delete_path(spark, staging)
 
     final = spark.read.parquet(f"{paths.postings}/segment_id={int(dst_segment)}")
-    terms = final.groupBy("term").agg(F.sum("n").alias("df"), F.max("block_max").alias("max_tf_norm"))
+    terms = final.groupBy("term").agg(
+        F.sum("n").alias("df"),
+        F.max("block_max").alias("max_tf_norm"),
+        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
+    )
     terms.coalesce(1).sortWithinPartitions("term").write.mode("overwrite").parquet(
         f"{paths.terms}/segment_id={int(dst_segment)}"
     )
@@ -145,18 +149,19 @@ def merge_segments(
     )
     _delete_path(spark, staging_n)
 
-    # segment_stats: dst inherits the MIN src build_avgdl (wand takes the
-    # per-segment min, so the inflation factor stays an upper bound
-    # whether or not the blocks were re-encoded at the current avgdl)
+    # dst inherits the MIN src build_avgdl (wand takes the per-segment
+    # min, so the inflation factor stays an upper bound whether or not
+    # the blocks were re-encoded at the current avgdl)
     from ..sources.catalog import read_or_none
 
-    ss = read_or_none(spark, paths.segment_stats)
-    if ss is not None:
-        mn = ss.filter(F.col("segment_id").isin(srcs)).agg(F.min("build_avgdl")).collect()[0][0]
-        if mn is not None:
-            spark.createDataFrame(
-                [(int(dst_segment), float(mn))], "segment_id int, build_avgdl double"
-            ).coalesce(1).write.mode("append").parquet(paths.segment_stats)
+    mn = None
+    manifest = read_or_none(spark, paths.manifest)
+    if manifest is not None:
+        mn = (
+            manifest.filter(F.col("segment_id").isin(srcs) & F.col("build_avgdl").isNotNull())
+            .agg(F.min("build_avgdl"))
+            .collect()[0][0]
+        )
 
     append_manifest(
         spark,
@@ -170,6 +175,7 @@ def merge_segments(
                 "n_postings": n_postings,
                 "bytes": nbytes,
                 "started_at": started,
+                "build_avgdl": float(mn) if mn is not None else None,
             }
         ]
         + [{"segment_id": s, "stage": "merge", "status": "merged"} for s in srcs if s != dst_segment],

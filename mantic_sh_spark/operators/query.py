@@ -24,8 +24,11 @@ SCORE_DECIMALS = 4  # fp-sum order varies across partitions; rank on rounded sco
 def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataFrame:
     """(query_id, term) — driver-side tokenization of the query set
     with the SAME tokenizer as the doc side (T2)."""
+    import pandas as pd
+
     rows = [(qid, t) for qid, q in queries for t in tokenize_query(q)]
-    return spark.createDataFrame(rows, "query_id int, term string")
+    pdf = pd.DataFrame(rows, columns=["query_id", "term"])
+    return spark.createDataFrame(pdf, "query_id int, term string")
 
 
 def bm25_scores(

@@ -262,13 +262,20 @@ def wand_topk(
     )
     idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
 
-    # per-segment bound inflation for avgdl drift after incremental extends
+    # per-segment bound inflation for avgdl drift after incremental
+    # extends; build_avgdl lives in the manifest lineage rows
     from ..sources.catalog import read_or_none
 
     bound_factors: dict[int, float] = {}
-    seg_stats = read_or_none(spark, paths.segment_stats)
-    if seg_stats is not None:
-        for r in seg_stats.groupBy("segment_id").agg(F.min("build_avgdl").alias("ba")).collect():
+    manifest = read_or_none(spark, paths.manifest)
+    if manifest is not None:
+        rows = (
+            manifest.filter(F.col("build_avgdl").isNotNull())
+            .groupBy("segment_id")
+            .agg(F.min("build_avgdl").alias("ba"))
+            .collect()
+        )
+        for r in rows:
             bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
 
     blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))

@@ -485,6 +485,181 @@ FROM t WHERE len(toks) >= 3
 """
 
 
+# ---------------------------------------------------------------- fuzzy / classify / graph
+
+FUZZY_Q = "windoq"  # one edit away from 'window'
+
+
+def q_fuzzy_closest(spark, sf_dir):
+    """T7/T8 + J7: Levenshtein closest-match top-3 over the term
+    vocabulary (reference: src/entity-extractor.ts:112-174 — exact→1.0,
+    substring→0.9, else 1 − dist/maxLen; filter ≥ threshold, take 3)."""
+    terms = q_df_per_term(spark, sf_dir).select("term")
+    q = F.lit(FUZZY_Q)
+    sim = (
+        F.when(F.col("term") == q, F.lit(1.0))
+        .when(F.col("term").contains(q) | q.contains(F.col("term")), F.lit(0.9))
+        .otherwise(1.0 - F.levenshtein("term", q) / F.greatest(F.length("term"), F.length(q)))
+    )
+    return (
+        terms.select("term", F.round(sim, 4).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+        .orderBy(F.desc("sim"), F.asc("term"))
+        .limit(3)
+    )
+
+
+SQL_FUZZY_CLOSEST = f"""
+WITH terms AS (SELECT DISTINCT unnest({TOK}) AS term FROM documents),
+s AS (SELECT term,
+        round(CASE WHEN term = '{FUZZY_Q}' THEN 1.0
+                   WHEN term LIKE '%{FUZZY_Q}%' OR '{FUZZY_Q}' LIKE '%' || term || '%' THEN 0.9
+                   ELSE 1.0 - levenshtein(term, '{FUZZY_Q}') * 1.0
+                        / greatest(length(term), length('{FUZZY_Q}')) END, 4) AS sim
+      FROM terms)
+SELECT term, sim FROM s WHERE sim >= 0.5 ORDER BY sim DESC, term ASC LIMIT 3
+"""
+
+
+def q_doc_classify(spark, sf_dir):
+    """P5/P6: ordered classification chain (reference: path →
+    code|config|test|docs|generated|other, src/file-classifier.ts:86-130)
+    re-expressed on webtext metadata, plus the per-class rollup."""
+    d = _docs(spark, sf_dir)
+    cls = (
+        F.when(F.col("lang") != "en", F.lit("foreign"))
+        .when(F.col("n_chars") < 120, F.lit("stub"))
+        .when(F.col("text").contains("window"), F.lit("reference"))
+        .when(F.col("n_chars") > 400, F.lit("longform"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        d.select("doc_id", cls.alias("doc_class"))
+        .groupBy("doc_class")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+SQL_DOC_CLASSIFY = """
+WITH c AS (SELECT doc_id,
+        CASE WHEN lang <> 'en' THEN 'foreign'
+             WHEN n_chars < 120 THEN 'stub'
+             WHEN text LIKE '%window%' THEN 'reference'
+             WHEN n_chars > 400 THEN 'longform'
+             ELSE 'other' END AS doc_class
+      FROM documents)
+SELECT doc_class, count(*)::BIGINT AS cnt, min(doc_id) AS first_doc FROM c GROUP BY doc_class
+"""
+
+
+def q_token_positions(spark, sf_dir):
+    """T9: positional split — posexplode gives (doc_id, pos, token),
+    the positional-postings primitive (reference splits content to
+    lines and reports line positions, src/smart-filter.ts:670-735)."""
+    d = _docs_tok(spark, sf_dir).filter(F.col("doc_id") < 5)
+    return d.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+
+
+SQL_TOKEN_POSITIONS = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents WHERE doc_id < 5)
+SELECT doc_id, CAST(x['pos'] AS INTEGER) AS pos, x['token'] AS token FROM (
+  SELECT doc_id, unnest(list_transform(range(0, len(toks)),
+         i -> {{'pos': i, 'token': toks[i + 1]}})) AS x
+  FROM t)
+"""
+
+
+def q_two_hop(spark, sf_dir):
+    """J4: 2-hop neighborhood via self-join (reference: dependents of
+    dependents, src/impact-analyzer.ts:157-169) — parts co-supplied
+    with part 1 through shared suppliers, excluding part 1 itself."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li.select("l_partkey", "l_suppkey").distinct()
+    e1 = edges.filter(F.col("l_partkey") == 1).select("l_suppkey")
+    return (
+        edges.join(F.broadcast(e1), "l_suppkey")
+        .filter(F.col("l_partkey") != 1)
+        .select("l_partkey")
+        .distinct()
+    )
+
+
+SQL_TWO_HOP = """
+WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+hop1 AS (SELECT l_suppkey FROM edges WHERE l_partkey = 1)
+SELECT DISTINCT l_partkey FROM edges JOIN hop1 USING(l_suppkey) WHERE l_partkey <> 1
+"""
+
+
+def q_canonical_groups(spark, sf_dir):
+    """J8: canonical-duplicate grouping (reference: group results by
+    suffix-stripped base name, src/canonical-analyzer.ts:27-113) —
+    canonical member = min doc_id per (source, lang) family."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("source", "lang").agg(
+        F.min("doc_id").alias("canonical_doc"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_CANONICAL_GROUPS = """
+SELECT source, lang, min(doc_id) AS canonical_doc, count(*)::BIGINT AS n_members,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY source, lang
+"""
+
+
+def q_context_boost(spark, sf_dir):
+    """J6/R13: broadcast semi-join context boost (reference: +150 for
+    docs in the session/context set, src/smart-filter.ts:770-781)."""
+    d = _docs(spark, sf_dir)
+    ctx = d.filter(F.col("lang") == "de").select("doc_id").withColumn("in_ctx", F.lit(1))
+    j = d.join(F.broadcast(ctx), "doc_id", "left")
+    boosted = F.col("n_chars") + F.when(F.col("in_ctx").isNotNull(), 150).otherwise(0)
+    return j.select("doc_id", boosted.cast("long").alias("boosted_score"))
+
+
+SQL_CONTEXT_BOOST = """
+SELECT doc_id, CAST(n_chars + CASE WHEN doc_id IN
+         (SELECT doc_id FROM documents WHERE lang = 'de') THEN 150 ELSE 0 END AS BIGINT)
+       AS boosted_score
+FROM documents
+"""
+
+
+def q_blast_radius(spark, sf_dir):
+    """A7: weighted blast-radius score + bucketize (reference:
+    10·direct + 3·indirect + 2·tests capped at 100 then bucketed,
+    src/impact-analyzer.ts:112-140) over per-user event fanout."""
+    e = _events(spark, sf_dir)
+    agg = e.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("direct"),
+        F.count(F.lit(1)).alias("indirect"),
+    )
+    radius = F.least(F.lit(100), 10 * F.col("direct") + 3 * F.col("indirect"))
+    bucket = (
+        F.when(radius < 20, "small")
+        .when(radius < 50, "medium")
+        .when(radius < 80, "large")
+        .otherwise("critical")
+    )
+    return agg.select(
+        "user_id", radius.cast("long").alias("radius"), bucket.alias("bucket")
+    )
+
+
+SQL_BLAST_RADIUS = """
+WITH a AS (SELECT user_id, count(DISTINCT event_type) AS direct, count(*) AS indirect
+           FROM events GROUP BY user_id),
+r AS (SELECT user_id, least(100, 10 * direct + 3 * indirect) AS radius FROM a)
+SELECT user_id, CAST(radius AS BIGINT) AS radius,
+       CASE WHEN radius < 20 THEN 'small' WHEN radius < 50 THEN 'medium'
+            WHEN radius < 80 THEN 'large' ELSE 'critical' END AS bucket
+FROM r
+"""
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -540,4 +715,11 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "fuzzy_closest": (q_fuzzy_closest, SQL_FUZZY_CLOSEST),
+    "doc_classify": (q_doc_classify, SQL_DOC_CLASSIFY),
+    "token_positions": (q_token_positions, SQL_TOKEN_POSITIONS),
+    "two_hop": (q_two_hop, SQL_TWO_HOP),
+    "canonical_groups": (q_canonical_groups, SQL_CANONICAL_GROUPS),
+    "context_boost": (q_context_boost, SQL_CONTEXT_BOOST),
+    "blast_radius": (q_blast_radius, SQL_BLAST_RADIUS),
 }

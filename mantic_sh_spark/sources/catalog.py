@@ -39,6 +39,10 @@ MANIFEST_SCHEMA = T.StructType(
         T.StructField("started_at", T.DoubleType(), True),
         T.StructField("finished_at", T.DoubleType(), True),
         T.StructField("attempt", T.IntegerType(), True),
+        # build-time avgdl for WAND bound inflation under avgdl drift
+        # (was a separate segment_stats table; folded in to save a
+        # commit per build batch)
+        T.StructField("build_avgdl", T.DoubleType(), True),
     ]
 )
 
@@ -66,12 +70,6 @@ class IndexPaths:
     @property
     def collection_stats(self) -> str:
         return os.path.join(self.root, "collection_stats")
-
-    @property
-    def segment_stats(self) -> str:
-        # per-segment build-time stats (build_avgdl) — lets the WAND
-        # bound stay sound when incremental builds drift the global avgdl
-        return os.path.join(self.root, "segment_stats")
 
     @property
     def manifest(self) -> str:
@@ -106,13 +104,25 @@ def append_manifest(spark: SparkSession, paths: IndexPaths, rows: list[dict]) ->
             "started_at": r.get("started_at", now),
             "finished_at": r.get("finished_at", now),
             "attempt": r.get("attempt", 1),
+            "build_avgdl": r.get("build_avgdl"),
         }
         for r in rows
     ]
-    spark.createDataFrame(full, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(paths.manifest)
+    # pandas → Arrow path: createDataFrame from Python lists takes the
+    # slow RDD route (seconds per call); from pandas it is one Arrow batch
+    import pandas as pd
+
+    pdf = pd.DataFrame(full, columns=[f.name for f in MANIFEST_SCHEMA.fields])
+    spark.createDataFrame(pdf, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
+        paths.manifest
+    )
 
 
 def done_segments(spark: SparkSession, paths: IndexPaths, stage: str = "postings") -> set[int]:
-    m = read_manifest(spark, paths)
-    rows = m.filter((F.col("stage") == stage) & (F.col("status") == "done")).select("segment_id").distinct().collect()
+    m = read_or_none(spark, paths.manifest)
+    if m is None:  # no manifest yet — avoid an empty-DataFrame Spark job
+        return set()
+    # dedup driver-side: the manifest is tiny and .distinct() would be
+    # the session's first shuffle (expensive machinery spin-up)
+    rows = m.filter((F.col("stage") == stage) & (F.col("status") == "done")).select("segment_id").collect()
     return {r.segment_id for r in rows}

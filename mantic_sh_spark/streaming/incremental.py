@@ -61,7 +61,12 @@ def extend_index(
     norms = spark.read.parquet(paths.norms)
     new_stats = norms.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     row = new_stats.collect()[0]
-    spark.createDataFrame([(row.n_docs, row.avgdl)], "n_docs long, avgdl double").coalesce(
+    import pandas as pd
+
+    spark.createDataFrame(
+        pd.DataFrame({"n_docs": [row.n_docs], "avgdl": [row.avgdl]}),
+        "n_docs long, avgdl double",
+    ).coalesce(
         1
     ).write.mode("overwrite").parquet(paths.collection_stats)
 
