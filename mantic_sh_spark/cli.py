@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True)
     b.add_argument("--segments", type=int, default=16)
     b.add_argument("--batch-segments", type=int, default=None)
+    b.add_argument("--extract", action="store_true",
+                   help="derive text from the html column (pinned byte-identical extraction)")
 
     e = sub.add_parser("extend", help="fold new pages into an existing index")
     e.add_argument("--index", required=True)
@@ -81,7 +83,8 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _spark(args)
         pages = spark.read.parquet(args.pages)
-        build_index(spark, pages, args.index, n_segments=args.segments, batch_segments=args.batch_segments)
+        build_index(spark, pages, args.index, n_segments=args.segments,
+                    batch_segments=args.batch_segments, extract=args.extract)
         print(json.dumps(index_stats(spark, args.index)))
 
     elif args.cmd == "extend":

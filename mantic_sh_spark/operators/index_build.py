@@ -218,6 +218,7 @@ def build_index(
     b: float = B,
     batch_segments: int | None = None,
     max_batches: int | None = None,
+    extract: bool = False,
 ) -> IndexPaths:
     """Full resumable build. Re-running after a crash (or after
     max_batches stopped it early) completes only pending segments.
@@ -226,9 +227,19 @@ def build_index(
     built in parallel within a batch (one Spark job) and the manifest
     row set is committed per batch. Smaller batches = finer resume
     granularity; None = all pending segments in one job.
+
+    extract=True derives `text` from the `html` column via the pinned
+    extraction spec (sources/extract.py, byte-identical per url) instead
+    of trusting a pre-extracted text column — the full `input_hint`
+    pipeline. The resulting index is identical when the table's text
+    column already equals the extraction (tests/test_extract.py).
     """
     paths = IndexPaths(index_dir)
     _t0 = time.time()
+    if extract:
+        from ..sources.extract import extract_pages
+
+        pages = extract_pages(pages)
 
     # ---- stage 'docs': ids + stats, committed once ----
     if -1 not in done_segments(spark, paths, stage="docs"):
@@ -291,6 +302,9 @@ def build_index(
     for seg_batch in batches:
         rows = build_postings_for_segments(spark, docs, paths, seg_batch, avgdl, k1, b)
         append_manifest(spark, paths, rows)
+    from .wand import refresh_meta
+
+    refresh_meta(index_dir)
     return paths
 
 

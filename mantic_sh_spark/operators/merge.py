@@ -180,4 +180,7 @@ def merge_segments(
         ]
         + [{"segment_id": s, "stage": "merge", "status": "merged"} for s in srcs if s != dst_segment],
     )
+    from .wand import refresh_meta
+
+    refresh_meta(index_dir)
     return int(dst_segment)

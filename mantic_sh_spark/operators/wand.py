@@ -231,37 +231,20 @@ def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
     return run
 
 
-def wand_topk(
-    spark: SparkSession,
-    index_dir: str,
-    queries: list[tuple[int, str]],
-    k: int = 10,
-    k1: float = K1,
-    b: float = B,
-) -> DataFrame:
-    """Top-k via the index: per-segment BMW (applyInPandas) → global
-    rank-window merge. Parquet scan is pruned to the query terms
-    (predicate pushdown on `term` + row-group stats from the
-    sort-by-term layout)."""
-    paths = IndexPaths(index_dir)
+# Per-process memo of index metadata (collection stats + WAND bound
+# factors), keyed by index_dir. The reference keeps the same thing as
+# an in-proc LRU over loaded indexes (src/cache.ts:10-47, ST3 in
+# SURVEY.md) — a query server loads metadata ONCE, not per query.
+# Invalidated explicitly via refresh_meta (build/extend/merge callers).
+_META_CACHE: dict[str, tuple[int, float, dict[int, float]]] = {}
+
+
+def _index_meta(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, dict[int, float]]:
+    cached = _META_CACHE.get(paths.root)
+    if cached is not None:
+        return cached
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
     n_docs, avgdl = int(stats.n_docs), float(stats.avgdl)
-
-    q_map = {int(qid): tokenize_query(q) for qid, q in queries}
-    all_terms = sorted({t for ts in q_map.values() for t in ts})
-    if not all_terms:
-        return spark.createDataFrame([], "query_id int, doc_id long, score double, rank int")
-
-    # global df per query term (tiny agg over the terms directory)
-    tmeta = (
-        spark.read.parquet(paths.terms)
-        .filter(F.col("term").isin(all_terms))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
-
     # per-segment bound inflation for avgdl drift after incremental
     # extends; build_avgdl lives in the manifest lineage rows
     from ..sources.catalog import read_or_none
@@ -277,6 +260,48 @@ def wand_topk(
         )
         for r in rows:
             bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
+    _META_CACHE[paths.root] = (n_docs, avgdl, bound_factors)
+    return _META_CACHE[paths.root]
+
+
+def refresh_meta(index_dir: str | None = None) -> None:
+    """Drop cached index metadata (after a build/extend/merge)."""
+    if index_dir is None:
+        _META_CACHE.clear()
+    else:
+        _META_CACHE.pop(IndexPaths(index_dir).root, None)
+
+
+def wand_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Top-k via the index: per-segment BMW (applyInPandas) → global
+    rank-window merge. Parquet scan is pruned to the query terms
+    (predicate pushdown on `term` + row-group stats from the
+    sort-by-term layout)."""
+    paths = IndexPaths(index_dir)
+    n_docs, avgdl, bound_factors = _index_meta(spark, paths)
+
+    q_map = {int(qid): tokenize_query(q) for qid, q in queries}
+    all_terms = sorted({t for ts in q_map.values() for t in ts})
+    if not all_terms:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double, rank int")
+
+    # global df per query term (tiny agg over the terms directory;
+    # pruned to the query terms by pushdown + row-group stats)
+    tmeta = (
+        spark.read.parquet(paths.terms)
+        .filter(F.col("term").isin(all_terms))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .collect()
+    )
+    idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
 
     blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
     per_seg = blocks.groupBy("segment_id").applyInPandas(

@@ -83,6 +83,9 @@ def extend_index(
         paths,
         [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": row.n_docs, "started_at": t0}],
     )
+    from ..operators.wand import refresh_meta
+
+    refresh_meta(index_dir)
     return segs
 
 

@@ -63,3 +63,26 @@ def test_extract_pages_spark(spark):
     bad = joined.filter(F.col("text") != F.col("want")).count()
     assert bad == 0
     assert joined.count() == 40
+
+
+def test_build_with_extract_matches_text_build(spark, tmp_path):
+    """extract=True (html → text via the pinned spec) must produce an
+    index identical to building from the provided text column — the
+    synth corpus guarantees extract(html) == text byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    pages = gen_pages(spark, SynthConfig(n_docs=120, vocab_size=300, seed=7), partitions=3)
+    a = str(tmp_path / "idx_text")
+    b = str(tmp_path / "idx_html")
+    build_index(spark, pages, a, n_segments=3)
+    build_index(spark, pages.drop("text").withColumn("text", F.lit(None).cast("string")).select(
+        "url", "warc_ts", "html", "text", "lang"
+    ), b, n_segments=3, extract=True)
+
+    cols = ["term", "segment_id", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
+    pa_ = spark.read.parquet(f"{a}/postings").select(cols).orderBy("term", "segment_id", "first_doc")
+    pb_ = spark.read.parquet(f"{b}/postings").select(cols).orderBy("term", "segment_id", "first_doc")
+    assert pa_.collect() == pb_.collect()
