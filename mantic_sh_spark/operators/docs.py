@@ -36,7 +36,12 @@ SEG_STRIDE = 1 << 40
 CHUNK_SIZE = 1 << 14
 
 
-def build_docs(pages: DataFrame, n_segments: int = 8, segment_offset: int = 0) -> DataFrame:
+def build_docs(
+    pages: DataFrame,
+    n_segments: int = 8,
+    segment_offset: int = 0,
+    chunk_size: int = CHUNK_SIZE,
+) -> DataFrame:
     """→ (doc_id, url, text, lang, warc_ts, doc_len, segment_id, salt, tokens).
 
     Deterministic for a given (pages content, n_segments, segment_offset)
@@ -50,7 +55,7 @@ def build_docs(pages: DataFrame, n_segments: int = 8, segment_offset: int = 0) -
     w = Window.partitionBy("segment_id").orderBy("url")
     df = df.withColumn("rn", F.row_number().over(w) - F.lit(1))
     df = df.withColumn("doc_id", F.col("segment_id").cast("long") * F.lit(SEG_STRIDE) + F.col("rn"))
-    df = df.withColumn("salt", (F.col("rn") / F.lit(CHUNK_SIZE)).cast("int"))
+    df = df.withColumn("salt", (F.col("rn") / F.lit(chunk_size)).cast("int"))
     df = df.withColumn("tokens", tokens_col("text"))
     df = df.withColumn("doc_len", F.size("tokens"))
     return df.drop("rn", "html")

@@ -219,6 +219,7 @@ def build_index(
     batch_segments: int | None = None,
     max_batches: int | None = None,
     extract: bool = False,
+    chunk_size: int | None = None,
 ) -> IndexPaths:
     """Full resumable build. Re-running after a crash (or after
     max_batches stopped it early) completes only pending segments.
@@ -245,7 +246,9 @@ def build_index(
     if -1 not in done_segments(spark, paths, stage="docs"):
         t0 = time.time()
         _t = _trace("done_segments(docs)", _t0)
-        docs = build_docs(pages, n_segments=n_segments)
+        from .docs import CHUNK_SIZE
+
+        docs = build_docs(pages, n_segments=n_segments, chunk_size=chunk_size or CHUNK_SIZE)
         (
             docs.drop("tokens")
             .repartition("segment_id")

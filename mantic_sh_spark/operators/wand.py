@@ -178,8 +178,13 @@ def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
             bacc += c.block_max_upto(pivot)
         if bacc < th - EPS:
             # skip: jump past the earliest block boundary among the
-            # cursors that defined this bound
+            # cursors that defined this bound — but never past the
+            # NEXT list's current doc (bacc only bounded cursors 0..p;
+            # docs ≥ active[p+1].cur get that list's contribution too,
+            # so the proof does not extend beyond it — Ding & Suel's d')
             nxt = min(c.next_boundary(pivot) for c in active[: p + 1])
+            if p + 1 < len(active):
+                nxt = min(nxt, active[p + 1].cur)
             target = max(pivot + 1, nxt)
             # advance the highest-impact cursor (fewest future evals)
             mover = max(active[: p + 1], key=lambda c: c.ub)

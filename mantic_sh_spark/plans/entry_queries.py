@@ -660,6 +660,64 @@ FROM r
 """
 
 
+PHRASE = ("spark", "join")
+
+
+def q_phrase_positions(spark, sf_dir):
+    """R3/R5 analog: exact-phrase match via POSITIONAL intersection —
+    posexplode to (doc_id, pos, token), self-join on pos+1 (reference:
+    in-order path-sequence matching, src/brain-scorer.ts:286-360).
+    Returns matching docs with the match count."""
+    d = _docs_tok(spark, sf_dir)
+    pos = d.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+    a = pos.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
+    b = pos.filter(F.col("token") == PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return a.join(b, ["doc_id", "pos"]).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches")
+    )
+
+
+SQL_PHRASE_POSITIONS = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(x['pos'] AS INTEGER) AS pos, x['token'] AS token FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len({TOK})),
+           i -> {{'pos': i, 'token': ({TOK})[i + 1]}})) AS x
+    FROM documents))
+SELECT a.doc_id, count(*)::BIGINT AS n_matches
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}'
+GROUP BY a.doc_id
+"""
+
+
+def q_event_window_agg(spark, sf_dir):
+    """ST-analog: event-time tumbling-window aggregation (F.window —
+    the same operator Structured Streaming uses with a watermark; here
+    exercised in batch so the oracle can replay it)."""
+    e = _events(spark, sf_dir)
+    w = F.window("ts", "1 day")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+SQL_EVENT_WINDOW_AGG = """
+SELECT date_trunc('day', ts) AS win_start, event_type,
+       count(*)::BIGINT AS cnt, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 HAVING count(*) >= 5
+"""
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -722,4 +780,6 @@ REGISTRY: dict[str, tuple] = {
     "canonical_groups": (q_canonical_groups, SQL_CANONICAL_GROUPS),
     "context_boost": (q_context_boost, SQL_CONTEXT_BOOST),
     "blast_radius": (q_blast_radius, SQL_BLAST_RADIUS),
+    "phrase_positions": (q_phrase_positions, SQL_PHRASE_POSITIONS),
+    "event_window_agg": (q_event_window_agg, SQL_EVENT_WINDOW_AGG),
 }

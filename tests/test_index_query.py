@@ -113,3 +113,59 @@ def test_needle_query_hits_exactly_one_doc(spark, small_corpus):
 
 def test_absent_term_returns_empty(spark, small_corpus):
     assert wand_topk(spark, small_corpus["index_dir"], [(0, "qqnotthere")], k=5).count() == 0
+
+
+def test_salted_chunks_concatenate_correctly(spark, tmp_path):
+    """THE skew mechanism: with a tiny chunk_size every head term's
+    postings split across many (term, segment, salt) groups that encode
+    independently and must concatenate in doc-id order. The resulting
+    index must be query-identical to the unsalted build, and the stop
+    term (present in ~90% of docs) must actually span multiple chunks."""
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.wand import wand_topk
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    cfg = SynthConfig(n_docs=600, vocab_size=400, seed=11)
+    pages = gen_pages(spark, cfg, partitions=4)
+    a = str(tmp_path / "idx_salted")
+    b = str(tmp_path / "idx_plain")
+    build_index(spark, pages, a, n_segments=2, chunk_size=64)  # ~300 docs/segment → ~5 chunks
+    build_index(spark, pages, b, n_segments=2)
+
+    # the stop term must span >1 chunk: its per-(segment) block list in the
+    # salted build comes from several independent encodes
+    blocks_a = (
+        spark.read.parquet(f"{a}/postings")
+        .filter(F.col("term") == cfg.stop_term)
+        .orderBy("segment_id", "first_doc")
+        .collect()
+    )
+    assert len(blocks_a) >= 2
+    # doc-id ranges must be strictly increasing within a segment (clean concat)
+    by_seg = {}
+    for r in blocks_a:
+        prev = by_seg.get(r.segment_id)
+        if prev is not None:
+            assert r.first_doc > prev, "chunk outputs must not overlap"
+        by_seg[r.segment_id] = r.last_doc
+
+    queries = [(0, cfg.stop_term), (1, "w1x w5x w9x"), (2, f"w2x {cfg.stop_term}"),
+               (3, "w0x w3x w7x w11x"), (4, "w4x w8x")]
+    ra = wand_topk(spark, a, queries, k=10).orderBy("query_id", "rank").collect()
+    rb = wand_topk(spark, b, queries, k=10).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in ra] == [
+        (r.query_id, r.doc_id, r.score) for r in rb
+    ]
+
+    # anchor BOTH index layouts to the exhaustive engine (ground truth),
+    # not merely to each other
+    from mantic_sh_spark.functions.tokenize import tokens_col
+    from mantic_sh_spark.operators.query import bm25_topk
+
+    docs = spark.read.parquet(f"{a}/docs").withColumn("tokens", tokens_col("text"))
+    rx = bm25_topk(spark, docs, queries, k=10).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in ra] == [
+        (r.query_id, r.doc_id, r.score) for r in rx
+    ]
