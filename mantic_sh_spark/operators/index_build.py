@@ -64,24 +64,6 @@ def _trace(label: str, t0: float) -> float:
     return t1
 
 
-def tf_triples(docs: DataFrame) -> DataFrame:
-    """(term, doc_id, tf, doc_len, segment_id, salt) — T3+A1 pre-agg.
-
-    The groupBy gets a map-side partial aggregation from Catalyst, so
-    the shuffle carries unique (doc, term) pairs, not raw tokens.
-    """
-    ex = docs.select(
-        "segment_id",
-        "salt",
-        "doc_id",
-        "doc_len",
-        F.explode("tokens").alias("term"),
-    )
-    return ex.groupBy("segment_id", "salt", "doc_id", "doc_len", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-
-
 def _list_segments(spark: SparkSession, path: str) -> list[int]:
     """Enumerate segment_id=* partition dirs via the FileSystem API —
     pure metadata, no Spark job (Iceberg analog: partitions metadata

@@ -149,6 +149,45 @@ def q_bm25_multi(spark, sf_dir):
 SQL_BM25_MULTI = _bm25_sql(MULTI_QUERIES)
 
 
+def q_wand_multi(spark, sf_dir):
+    """THE index round-trip under the oracle gate: build the compressed
+    posting-block index over the documents table (once per sf_dir),
+    serve the same query set via Block-Max WAND, and map the engine's
+    segment-sharded doc ids back to the table's doc_id. Must be
+    value-identical to the plain-SQL BM25 oracle — proving codec +
+    block-max pruning + per-segment merge change nothing."""
+    import hashlib
+    import os
+
+    from ..operators.index_build import build_index
+    from ..operators.wand import wand_topk
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/mantic_entry_idx_{tag}"
+    if not os.path.exists(f"{idx}/build_manifest"):
+        pages = (
+            _docs(spark, sf_dir)
+            .select(
+                F.col("doc_id").cast("string").alias("url"),
+                "text",
+                "lang",
+            )
+        )
+        build_index(spark, pages, idx, n_segments=4)
+    res = wand_topk(spark, idx, MULTI_QUERIES, k=10)
+    url_map = spark.read.parquet(f"{idx}/docs").select(
+        F.col("doc_id").alias("engine_doc"), F.col("url").cast("long").alias("doc_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "engine_doc")
+        .join(F.broadcast(url_map), "engine_doc")
+        .select("query_id", "doc_id", "score")
+    )
+
+
+SQL_WAND_MULTI = SQL_BM25_MULTI
+
+
 # ---------------------------------------------------------------- filters / windows / sets
 
 def q_phrase_match(spark, sf_dir):
@@ -751,6 +790,7 @@ REGISTRY: dict[str, tuple] = {
     "term_lookup": (q_term_lookup, SQL_TERM_LOOKUP),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_multi": (q_bm25_multi, SQL_BM25_MULTI),
+    "wand_multi": (q_wand_multi, SQL_WAND_MULTI),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "topn_per_lang": (q_topn_per_lang, SQL_TOPN_PER_LANG),
     "stale_diff": (q_stale_diff, SQL_STALE_DIFF),
