@@ -757,6 +757,47 @@ FROM events GROUP BY 1, 2 HAVING count(*) >= 5
 """
 
 
+def q_regex_extract(spark, sf_dir):
+    """T4/T5 analog: regex extraction over content — pull all distinct
+    4+-letter capitalized-looking tokens per doc via regexp_extract_all
+    (reference: import/export regex extraction over file content,
+    src/dependency-graph.ts:38-228; webtext analog = href/entity pulls)."""
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    hits = F.array_distinct(F.regexp_extract_all("text", F.lit(r"\b(co\w{4,})\b"), 1))
+    return d.select("doc_id", F.explode(hits).alias("hit"))
+
+
+SQL_REGEX_EXTRACT = r"""
+SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\b(co\w{4,})\b', 1))) AS hit
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_confidence(spark, sf_dir):
+    """R14: per-result confidence — blend of score/median (0.6) and
+    score/avg (0.4) over the result set (reference:
+    src/file-metadata.ts:80-104, src/process-request.ts:29)."""
+    e = _events(spark, sf_dir)
+    scores = e.groupBy("user_id").agg(F.sum("value").alias("score"))
+    stats = scores.agg(
+        F.expr("percentile(score, 0.5)").alias("med"), F.avg("score").alias("avg")
+    )
+    return scores.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        F.round(
+            0.6 * F.col("score") / F.col("med") + 0.4 * F.col("score") / F.col("avg"), 4
+        ).alias("confidence"),
+    )
+
+
+SQL_CONFIDENCE = """
+WITH s AS (SELECT user_id, sum(value) AS score FROM events GROUP BY 1),
+st AS (SELECT quantile_cont(score, 0.5) AS med, avg(score) AS avg FROM s)
+SELECT user_id, round(0.6 * score / med + 0.4 * score / avg, 4) AS confidence
+FROM s CROSS JOIN st
+"""
+
+
 # ---------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark, sf_dir):
@@ -822,4 +863,6 @@ REGISTRY: dict[str, tuple] = {
     "blast_radius": (q_blast_radius, SQL_BLAST_RADIUS),
     "phrase_positions": (q_phrase_positions, SQL_PHRASE_POSITIONS),
     "event_window_agg": (q_event_window_agg, SQL_EVENT_WINDOW_AGG),
+    "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
+    "confidence": (q_confidence, SQL_CONFIDENCE),
 }
