@@ -241,7 +241,7 @@ def encode_groups(
 # Lives HERE (numpy/pyarrow-only module) so that unpickling the UDF
 # closure in fresh Python workers does not drag in pandas/pyspark.sql
 # imports — worker cold-start is a measurable serial cost per stage.
-def encode_table(tbl, avgdl: float, k1: float, b: float):
+def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
     """Encode a sorted run of COMPLETE (term, segment, salt) groups of
     raw token rows into block rows — fully vectorized, zero pandas.
 
@@ -282,7 +282,7 @@ def encode_table(tbl, avgdl: float, k1: float, b: float):
     grows = np.flatnonzero(gchanged)
     # group starts re-expressed in posting index space
     gstarts = np.searchsorted(pstarts, grows)
-    enc = encode_groups(gstarts, doc[pstarts], tf, dl[pstarts], avgdl, k1, b)
+    enc = encode_groups(gstarts, doc[pstarts], tf, dl[pstarts], avgdl, k1, b, block_size)
     gi = enc.pop("group_idx")
     tidx = grows[gi]
     return pa.RecordBatch.from_arrays(
@@ -301,7 +301,7 @@ def encode_table(tbl, avgdl: float, k1: float, b: float):
     )
 
 
-def encode_stream_fn(avgdl: float, k1: float, b: float):
+def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
     """mapInArrow encoder over a partition sorted by
     (term, segment_id, salt, doc_id): Arrow batch boundaries can split
     a group, so the trailing (possibly incomplete) group of each batch
@@ -332,8 +332,8 @@ def encode_stream_fn(avgdl: float, k1: float, b: float):
             cut = n - int(tail.sum())
             carry = tbl.slice(cut)
             if cut:
-                yield encode_table(tbl.slice(0, cut), avgdl, k1, b)
+                yield encode_table(tbl.slice(0, cut), avgdl, k1, b, block_size)
         if carry is not None and carry.num_rows:
-            yield encode_table(carry.combine_chunks(), avgdl, k1, b)
+            yield encode_table(carry.combine_chunks(), avgdl, k1, b, block_size)
 
     return run

@@ -106,6 +106,7 @@ def build_postings_for_segments(
     avgdl: float,
     k1: float = K1,
     b: float = B,
+    block_size: int | None = None,
 ) -> list[dict]:
     """Build + commit postings/terms for the given segments; return
     manifest metric rows (not yet appended)."""
@@ -126,7 +127,7 @@ def build_postings_for_segments(
     blocks = (
         toks.repartition("term", "segment_id", "salt")
         .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
-        .mapInArrow(encode_stream_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA)
+        .mapInArrow(encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE), schema=BLOCK_ROW_SCHEMA)
     )
     # One writer partition per segment → one sorted run per segment dir;
     # row-group min/max stats on `term` give query-time block pruning.
@@ -202,6 +203,7 @@ def build_index(
     max_batches: int | None = None,
     extract: bool = False,
     chunk_size: int | None = None,
+    block_size: int | None = None,
 ) -> IndexPaths:
     """Full resumable build. Re-running after a crash (or after
     max_batches stopped it early) completes only pending segments.
@@ -285,7 +287,7 @@ def build_index(
     if max_batches is not None:
         batches = batches[:max_batches]
     for seg_batch in batches:
-        rows = build_postings_for_segments(spark, docs, paths, seg_batch, avgdl, k1, b)
+        rows = build_postings_for_segments(spark, docs, paths, seg_batch, avgdl, k1, b, block_size)
         append_manifest(spark, paths, rows)
     from .wand import refresh_meta
 

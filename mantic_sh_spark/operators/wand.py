@@ -172,6 +172,11 @@ def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
         pivot = active[p].cur
         if pivot >= INF:
             break
+        # extend the pivot set across ties: every list already AT the
+        # pivot doc contributes to its score, so it must be inside the
+        # bound (and the d' cap below must start strictly beyond pivot)
+        while p + 1 < len(active) and active[p + 1].cur == pivot:
+            p += 1
         # block-max refinement (shallow: no block decode)
         bacc = 0.0
         for c in active[: p + 1]:

@@ -149,12 +149,14 @@ def gen_queries(cfg: SynthConfig, n_queries: int = 50) -> list[tuple[int, str]]:
         if kind == 0:  # head term
             out.append((qid, vocab_word(int(rng.integers(0, 5)))))
         elif kind == 1:  # mid term
-            out.append((qid, vocab_word(int(rng.integers(50, min(500, cfg.vocab_size))))))
+            lo = min(50, max(1, cfg.vocab_size // 2))
+            hi = max(lo + 1, min(500, cfg.vocab_size))
+            out.append((qid, vocab_word(int(rng.integers(lo, hi)))))
         elif kind == 2:  # needle
             i = int(rng.integers(0, max(1, cfg.n_docs // cfg.needle_every))) * cfg.needle_every
             out.append((qid, f"zzneedle{i}"))
         elif kind == 3:  # multi-term
-            ids = rng.integers(0, min(2000, cfg.vocab_size), size=int(rng.integers(2, 5)))
+            ids = rng.integers(0, max(2, min(2000, cfg.vocab_size)), size=int(rng.integers(2, 5)))
             out.append((qid, " ".join(vocab_word(int(t)) for t in ids)))
         elif kind == 4:  # CamelCase variant of a real term pair → must normalize
             a = vocab_word(int(rng.integers(0, 100)))

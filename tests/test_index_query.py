@@ -169,3 +169,27 @@ def test_salted_chunks_concatenate_correctly(spark, tmp_path):
     assert [(r.query_id, r.doc_id, r.score) for r in ra] == [
         (r.query_id, r.doc_id, r.score) for r in rx
     ]
+
+
+def test_tiny_blocks_rank_identical(spark, tmp_path):
+    """Maximum skip-logic stress: 8-posting blocks force the WAND
+    block-max machinery through many boundaries per list; results must
+    stay rank-identical to the exhaustive engine for a mixed query set."""
+    from mantic_sh_spark.functions.tokenize import tokens_col
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.query import bm25_topk
+    from mantic_sh_spark.operators.wand import wand_topk
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages, gen_queries
+
+    cfg = SynthConfig(n_docs=500, vocab_size=300, seed=23)
+    pages = gen_pages(spark, cfg, partitions=4)
+    idx = str(tmp_path / "idx_tinyblocks")
+    build_index(spark, pages, idx, n_segments=3, chunk_size=64, block_size=8)
+
+    queries = gen_queries(cfg, n_queries=18)
+    rw = wand_topk(spark, idx, queries, k=7).orderBy("query_id", "rank").collect()
+    docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    rx = bm25_topk(spark, docs, queries, k=7).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in rw] == [
+        (r.query_id, r.doc_id, r.score) for r in rx
+    ]
