@@ -1,0 +1,60 @@
+"""CLI surface: synth → build → query → extend → stats, in-process
+(get_spark getOrCreate reuses the test session, so each subcommand is
+cheap). Reference analog: the commander CLI entry src/index.ts:17-58."""
+
+import json
+
+from mantic_sh_spark.cli import main
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+
+    assert main(["synth", "--out", pages, "--n-docs", "300", "--vocab", "500", "--partitions", "3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] == 300
+
+    assert main(["build", "--pages", pages, "--index", idx, "--segments", "3"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert st["n_docs"] == 300 and st["segments"] == 3 and st["postings"] > 0
+
+    assert main(["query", "--index", idx, "--q", "w1x w5x", "--k", "5"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert "w1x w5x" in res and 1 <= len(res["w1x w5x"]) <= 5
+    assert res["w1x w5x"][0]["rank"] == 1 and res["w1x w5x"][0]["url"].startswith("https://")
+
+    # exhaustive engine agrees through the CLI too
+    assert main(["query", "--index", idx, "--q", "w1x w5x", "--k", "5", "--engine", "exhaustive"]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip())
+    assert [(r["doc_id"], r["score"]) for r in res2["w1x w5x"]] == [
+        (r["doc_id"], r["score"]) for r in res["w1x w5x"]
+    ]
+
+    assert main(["stats", "--index", idx]) == 0
+    st2 = json.loads(capsys.readouterr().out.strip())
+    assert st2["segments"] == 3
+
+
+def test_cli_extend_and_merge(spark, tmp_path, capsys):
+    pages = str(tmp_path / "pages")
+    more = str(tmp_path / "more")
+    idx = str(tmp_path / "idx")
+
+    main(["synth", "--out", pages, "--n-docs", "200", "--vocab", "400"])
+    main(["build", "--pages", pages, "--index", idx, "--segments", "2"])
+    main(["synth", "--out", more, "--n-docs", "80", "--vocab", "400", "--seed", "77"])
+    capsys.readouterr()
+
+    assert main(["extend", "--index", idx, "--pages", more, "--new-segments", "2"]) == 0
+    ext = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ext["n_docs"] == 280 and len(ext["new_segments"]) == 2
+
+    segs = ",".join(str(s) for s in ext["new_segments"])
+    assert main(["merge", "--index", idx, "--segments", segs]) == 0
+    merged = json.loads(capsys.readouterr().out.strip())
+    assert merged["merged_into"] == ext["new_segments"][0]
+
+    assert main(["query", "--index", idx, "--q", "w2x", "--k", "3"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())
+    assert len(res.get("w2x", [])) == 3
