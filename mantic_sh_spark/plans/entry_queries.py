@@ -493,6 +493,27 @@ FROM votes GROUP BY doc_id
 """
 
 
+def q_lsh_pairs(spark, sf_dir):
+    """LSH banding end-to-end: MinHash signatures → band keys →
+    candidate pairs via band-key equi-join (the O(n²)-killer). The md5
+    hash family makes even the banding oracle-reproducible."""
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=8, band_size=4)
+
+
+SQL_LSH_PAIRS = f"""
+WITH terms AS (SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents),
+sigs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sig_id),
+mh AS (SELECT doc_id, sig_id,
+       min(CAST(('0x' || substr(md5(term || '#' || sig_id), 1, 15)) AS BIGINT)) AS minhash
+       FROM terms CROSS JOIN sigs GROUP BY doc_id, sig_id),
+bands AS (SELECT doc_id, sig_id // 4 AS band,
+          md5(string_agg(minhash::VARCHAR, ',' ORDER BY sig_id)) AS band_key
+          FROM mh GROUP BY doc_id, band)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     sh = dedup.doc_terms(d).withColumnRenamed("term", "shingle")
@@ -851,6 +872,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "simhash16": (q_simhash, SQL_SIMHASH),
+    "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
