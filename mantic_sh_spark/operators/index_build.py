@@ -245,7 +245,20 @@ def build_index(
         # norms = 3-column pruned scan of the committed docs; collection
         # stats then aggregate the TINY norms sidecar (and carry n_docs),
         # so the wide docs table is scanned exactly once here.
-        docs_read = spark.read.parquet(paths.docs)
+        docs_read = read_or_none(spark, paths.docs)
+        if docs_read is None:  # empty corpus — a parquet write of 0 rows
+            # leaves no readable files; commit an empty-but-valid index
+            import pandas as pd  # noqa: F811
+
+            spark.createDataFrame(
+                pd.DataFrame({"n_docs": [0], "avgdl": [0.0]}), "n_docs long, avgdl double"
+            ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
+            append_manifest(
+                spark,
+                paths,
+                [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": 0, "started_at": t0}],
+            )
+            return paths
         doc_stats(docs_read).repartition("segment_id").write.mode("overwrite").partitionBy(
             "segment_id"
         ).parquet(paths.norms)
@@ -262,6 +275,8 @@ def build_index(
 
     _t = _trace("docs-stage manifest", _t0)
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
+    if not stats.n_docs:  # empty corpus: a valid (empty) index, no postings stage
+        return paths
     avgdl = float(stats.avgdl)
 
     docs = spark.read.parquet(paths.docs)
