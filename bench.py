@@ -157,9 +157,10 @@ def _headline_queries() -> dict:
     from mantic_sh_spark.session import get_spark
 
     names = [
-        "bm25_topk", "bm25_multi", "tf_triples", "df_per_term", "dedup_exact",
-        "minhash_sig", "simhash16", "token_stats", "quality_score",
+        "bm25_topk", "bm25_multi", "wand_multi", "tf_triples", "df_per_term",
+        "dedup_exact", "minhash_sig", "simhash16", "token_stats", "quality_score",
         "ann_cosine_topk", "topn_per_lang", "stale_diff", "top_revenue",
+        "phrase_positions", "fuzzy_closest",
     ]
     spark = get_spark(cores=CPUS, app_name="bench-queries", shuffle_partitions=CPUS)
     out = {}

@@ -43,6 +43,16 @@ def cosine_scores(emb: DataFrame, query_vec: list[float], id_col: str = "vec_id"
     )
 
 
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k: orderBy().limit() compiles to
+    TakeOrderedAndProject (per-partition heap + driver merge — no
+    single-partition global sort, which a bare Window.orderBy would
+    force); the rank window then runs over ≤ k rows only."""
+    top = scored.orderBy(F.desc("cos"), F.asc("vec_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 exclude_id: int | None = None) -> DataFrame:
     """(vec_id, cos, rank): brute-force exact top-k (deterministic
@@ -50,8 +60,7 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     s = cosine_scores(emb, query_vec)
     if exclude_id is not None:
         s = s.filter(F.col("vec_id") != exclude_id)
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _ranked_topk(s, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -101,8 +110,7 @@ def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     scored = cosine_scores(emb.join(cand, "vec_id", "left_semi"), query_vec)
     if exclude_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_id)
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _ranked_topk(scored, k)
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
