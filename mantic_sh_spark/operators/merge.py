@@ -109,7 +109,15 @@ def merge_segments(
 
     staging = f"{paths.root}/postings_merge_tmp"
     _delete_path(spark, staging)
-    merged.repartition(1).sortWithinPartitions("term", "first_doc").write.mode("overwrite").parquet(staging)
+    # range-partition by term: sorted multi-file layout (row-group AND
+    # file-level term pruning); AQE coalesces when the merge is small.
+    # A single-file write would serialize the whole merged segment.
+    (
+        merged.repartitionByRange(F.col("term"), F.col("first_doc"))
+        .sortWithinPartitions("term", "first_doc")
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
 
     committed = spark.read.parquet(staging)
     n_postings = committed.agg(F.sum("n")).collect()[0][0]
@@ -141,7 +149,9 @@ def merge_segments(
     norms_pdf = norms.drop("segment_id")
     staging_n = f"{paths.root}/norms_merge_tmp"
     _delete_path(spark, staging_n)
-    norms_pdf.coalesce(1).sortWithinPartitions("doc_id").write.mode("overwrite").parquet(staging_n)
+    norms_pdf.repartitionByRange(F.col("doc_id")).sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(staging_n)
     for s in srcs:
         _delete_path(spark, f"{paths.norms}/segment_id={s}")
     spark.read.parquet(staging_n).write.mode("overwrite").parquet(

@@ -332,7 +332,6 @@ FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' GROUP BY event_type
 def q_in_degree(spark, sf_dir):
     e = _events(spark, sf_dir)
     deg = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("indeg"))
-    w = Window.orderBy(F.lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     mx = deg.agg(F.max("indeg").alias("mx"))
     return deg.crossJoin(F.broadcast(mx)).select(
         "user_id", "indeg", F.round(F.col("indeg") * 100.0 / F.col("mx"), 4).alias("rank100")
