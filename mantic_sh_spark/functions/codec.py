@@ -301,6 +301,122 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     )
 
 
+def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
+    """mapInArrow block compactor for segment merges: input is block
+    rows sorted by (term, first_doc) within each partition. Full blocks
+    PASS THROUGH without decode; undersized blocks (chunk/segment tails)
+    buffer into a per-term leftover that re-emits full blocks greedily.
+    Memory is O(block_size) regardless of term frequency — a stop term
+    over a billion-doc merged segment streams through, never
+    materializing its posting list."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cols = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
+                "doc_gaps", "tfs", "dls"]
+        cur_term = None
+        cur_seg = 0
+        buf_d: list = []  # leftover decoded postings for cur_term
+        buf_t: list = []
+        buf_l: list = []
+        out: dict = {c: [] for c in cols}
+
+        def buffered() -> int:
+            return sum(len(x) for x in buf_d)
+
+        def emit_from_buffer(final: bool) -> None:
+            """Re-encode leftover into blocks; keep a < block_size tail
+            unless final."""
+            nonlocal buf_d, buf_t, buf_l
+            if not buf_d:
+                return
+            d = np.concatenate(buf_d)
+            t = np.concatenate(buf_t)
+            l = np.concatenate(buf_l)
+            n_full = (len(d) // block_size) * block_size
+            take = len(d) if final else n_full
+            if take:
+                for bl in encode_blocks(d[:take], t[:take], l[:take], avgdl, k1, b, block_size):
+                    out["term"].append(cur_term)
+                    out["segment_id"].append(cur_seg)
+                    out["first_doc"].append(bl.first_doc)
+                    out["last_doc"].append(bl.last_doc)
+                    out["block_max"].append(bl.block_max)
+                    out["n"].append(bl.n)
+                    out["doc_gaps"].append(bl.doc_gaps)
+                    out["tfs"].append(bl.tfs)
+                    out["dls"].append(bl.dls)
+            buf_d = [d[take:]] if take < len(d) else []
+            buf_t = [t[take:]] if take < len(d) else []
+            buf_l = [l[take:]] if take < len(d) else []
+
+        def flush_out():
+            nonlocal out
+            if not out["term"]:
+                return None
+            rb = pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["term"], pa.string()),
+                    pa.array(out["segment_id"], pa.int32()),
+                    pa.array(out["first_doc"], pa.int64()),
+                    pa.array(out["last_doc"], pa.int64()),
+                    pa.array(out["block_max"], pa.float64()),
+                    pa.array(out["n"], pa.int32()),
+                    pa.array(out["doc_gaps"], pa.binary()),
+                    pa.array(out["tfs"], pa.binary()),
+                    pa.array(out["dls"], pa.binary()),
+                ],
+                names=cols,
+            )
+            out = {c: [] for c in cols}
+            return rb
+
+        for rb in batches:
+            terms = rb.column("term").to_pylist()
+            segs = rb.column("segment_id").to_numpy()
+            firsts = rb.column("first_doc").to_numpy()
+            lasts = rb.column("last_doc").to_numpy()
+            bmaxs = rb.column("block_max").to_numpy()
+            ns = rb.column("n").to_numpy()
+            gaps = rb.column("doc_gaps").to_pylist()
+            tfs_b = rb.column("tfs").to_pylist()
+            dls_b = rb.column("dls").to_pylist()
+            for i in range(rb.num_rows):
+                if terms[i] != cur_term:
+                    emit_from_buffer(final=True)
+                    cur_term = terms[i]
+                    cur_seg = int(segs[i])
+                if not buf_d and ns[i] == block_size:
+                    # aligned full block: pass through untouched
+                    out["term"].append(cur_term)
+                    out["segment_id"].append(int(segs[i]))
+                    out["first_doc"].append(int(firsts[i]))
+                    out["last_doc"].append(int(lasts[i]))
+                    out["block_max"].append(float(bmaxs[i]))
+                    out["n"].append(int(ns[i]))
+                    out["doc_gaps"].append(gaps[i])
+                    out["tfs"].append(tfs_b[i])
+                    out["dls"].append(dls_b[i])
+                    continue
+                d, t, l = decode_block(gaps[i], tfs_b[i], dls_b[i])
+                buf_d.append(d)
+                buf_t.append(t)
+                buf_l.append(l)
+                if buffered() >= block_size:
+                    emit_from_buffer(final=False)
+            rb_out = flush_out()
+            if rb_out is not None:
+                yield rb_out
+        emit_from_buffer(final=True)
+        rb_out = flush_out()
+        if rb_out is not None:
+            yield rb_out
+
+    return run
+
+
 def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
     """mapInArrow encoder over a partition sorted by
     (term, segment_id, salt, doc_id): Arrow batch boundaries can split

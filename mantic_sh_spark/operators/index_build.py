@@ -318,13 +318,10 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     if cs is not None:
         r = cs.collect()[0]
         out["n_docs"], out["avgdl"] = r.n_docs, r.avgdl
-    m = read_or_none(spark, paths.manifest)
-    if m is not None:
-        done = m.filter((F.col("stage") == "postings") & (F.col("status") == "done"))
-        agg = done.agg(
-            F.count(F.lit(1)).alias("segments"),
-            F.sum("n_postings").alias("postings"),
-            F.sum("bytes").alias("bytes"),
-        ).collect()[0]
-        out.update(segments=agg.segments, postings=agg.postings, index_bytes=agg.bytes)
+    live = _list_segments(spark, paths.postings)
+    out["segments"] = len(live)
+    t = read_or_none(spark, paths.terms)
+    if t is not None:
+        agg = t.agg(F.sum("df").alias("postings"), F.sum("bytes").alias("bytes")).collect()[0]
+        out.update(postings=agg.postings, index_bytes=agg.bytes)
     return out

@@ -33,38 +33,6 @@ from ..sources.catalog import IndexPaths, append_manifest
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
 
 
-def _compact_fn(avgdl: float, k1: float, b: float):
-    import numpy as np
-
-    def compact(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("first_doc")
-        docs, tfs, dls = [], [], []
-        for g, t, l in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"]):
-            d, tf, dl = codec.decode_block(g, t, l)
-            docs.append(d)
-            tfs.append(tf)
-            dls.append(dl)
-        d = np.concatenate(docs)
-        tf = np.concatenate(tfs)
-        dl = np.concatenate(dls)
-        blocks = codec.encode_blocks(d, tf, dl, avgdl, k1, b)
-        return pd.DataFrame(
-            {
-                "term": pdf["term"].iloc[0],
-                "segment_id": int(pdf["segment_id"].iloc[0]),
-                "first_doc": [x.first_doc for x in blocks],
-                "last_doc": [x.last_doc for x in blocks],
-                "block_max": [x.block_max for x in blocks],
-                "n": [x.n for x in blocks],
-                "doc_gaps": [x.doc_gaps for x in blocks],
-                "tfs": [x.tfs for x in blocks],
-                "dls": [x.dls for x in blocks],
-            }
-        )
-
-    return compact
-
-
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
@@ -96,28 +64,28 @@ def merge_segments(
         .withColumn("src_segment", F.col("segment_id"))
         .withColumn("segment_id", F.lit(int(dst_segment)))
     )
+    # range-partition by (term, first_doc): sorted multi-file layout
+    # (row-group AND file-level term pruning); AQE coalesces small
+    # merges. A single-file write would serialize the merged segment.
+    ordered = (
+        blocks.drop("src_segment")
+        .repartitionByRange(F.col("term"), F.col("first_doc"))
+        .sortWithinPartitions("term", "first_doc")
+    )
     if compact:
-        # Whole-term groups: inputs are compressed blocks, so even a
-        # stop term over a full merged segment stays modest (~3 B/posting
-        # on disk; decoded ~24 B/posting numpy). Bound = one merged
-        # segment's postings for one term — size merges accordingly.
-        merged = blocks.drop("src_segment").groupBy("term").applyInPandas(
-            _compact_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA
+        # streaming Arrow compactor: aligned full blocks pass through
+        # WITHOUT decode; ragged chunk/segment tails buffer into
+        # O(block_size) leftovers and re-emit full blocks — a stop term
+        # over the whole merged segment streams, never materializes.
+        merged = ordered.mapInArrow(
+            codec.compact_stream_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA
         )
     else:
-        merged = blocks.drop("src_segment")
+        merged = ordered
 
     staging = f"{paths.root}/postings_merge_tmp"
     _delete_path(spark, staging)
-    # range-partition by term: sorted multi-file layout (row-group AND
-    # file-level term pruning); AQE coalesces when the merge is small.
-    # A single-file write would serialize the whole merged segment.
-    (
-        merged.repartitionByRange(F.col("term"), F.col("first_doc"))
-        .sortWithinPartitions("term", "first_doc")
-        .write.mode("overwrite")
-        .parquet(staging)
-    )
+    merged.write.mode("overwrite").parquet(staging)
 
     committed = spark.read.parquet(staging)
     n_postings = committed.agg(F.sum("n")).collect()[0][0]

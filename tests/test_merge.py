@@ -40,3 +40,41 @@ def test_merge_preserves_results(spark, tmp_path):
         .count()
     )
     assert ragged == 0
+
+
+def test_compaction_defragments_and_preserves_results(spark, tmp_path):
+    """Build with tiny chunks (many ragged tail blocks), merge-with-
+    compact into one segment: block count must drop (defragmentation),
+    and WAND results must stay rank-identical to the exhaustive engine."""
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.functions.tokenize import tokens_col
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.operators.query import bm25_topk
+    from mantic_sh_spark.operators.wand import wand_topk
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages, gen_queries
+
+    cfg = SynthConfig(n_docs=400, vocab_size=300, seed=19)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=3, chunk_size=32, block_size=16)
+
+    before = spark.read.parquet(f"{idx}/postings").count()
+    dst = merge_segments(spark, idx, [0, 1, 2], dst_segment=7, compact=True)
+    assert dst == 7
+    after_df = spark.read.parquet(f"{idx}/postings")
+    after = after_df.count()
+    assert after < before, f"compaction should shrink block count ({before} -> {after})"
+    # every non-final block of a term should be full (16): at most one
+    # ragged block per (term, partition boundary)
+    ragged = after_df.filter(F.col("n") < 16).groupBy("term").count().filter("count > 2").count()
+    assert ragged == 0
+
+    queries = gen_queries(cfg, n_queries=12)
+    rw = wand_topk(spark, idx, queries, k=8).orderBy("query_id", "rank").collect()
+    docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    rx = bm25_topk(spark, docs, queries, k=8).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in rw] == [
+        (r.query_id, r.doc_id, r.score) for r in rx
+    ]
