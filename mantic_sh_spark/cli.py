@@ -8,6 +8,7 @@ Usage (local):
     python main.py query  --index /path/idx --q "router server" --k 10
     python main.py extend --index /path/idx --pages /path/new_pages
     python main.py merge  --index /path/idx --segments 0,1,2
+    python main.py delete --index /path/idx --urls https://site0.example/...
     python main.py synth  --out /path/pages --n-docs 100000
     python main.py stats  --index /path/idx
 
@@ -57,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--segments", required=True, help="comma-separated src segment ids")
     m.add_argument("--dst", type=int, default=None)
     m.add_argument("--no-compact", action="store_true")
+    m.add_argument("--no-purge", action="store_true")
+
+    d = sub.add_parser("delete", help="tombstone documents by url or doc id")
+    d.add_argument("--index", required=True)
+    d.add_argument("--urls", nargs="*", default=None)
+    d.add_argument("--doc-ids", nargs="*", type=int, default=None)
 
     q = sub.add_parser("query", help="BM25 top-k")
     q.add_argument("--index", required=True)
@@ -101,9 +108,16 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args)
         dst = merge_segments(
             spark, args.index, [int(x) for x in args.segments.split(",")],
-            dst_segment=args.dst, compact=not args.no_compact,
+            dst_segment=args.dst, compact=not args.no_compact, purge=not args.no_purge,
         )
         print(json.dumps({"merged_into": dst}))
+
+    elif args.cmd == "delete":
+        from .operators.delete import delete_docs
+
+        spark = _spark(args)
+        n = delete_docs(spark, args.index, doc_ids=args.doc_ids, urls=args.urls)
+        print(json.dumps({"tombstoned": n}))
 
     elif args.cmd == "query":
         spark = _spark(args)

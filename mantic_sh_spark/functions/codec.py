@@ -301,18 +301,26 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     )
 
 
-def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
+def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
+                      dead=None):
     """mapInArrow block compactor for segment merges: input is block
     rows sorted by (term, first_doc) within each partition. Full blocks
     PASS THROUGH without decode; undersized blocks (chunk/segment tails)
     buffer into a per-term leftover that re-emits full blocks greedily.
     Memory is O(block_size) regardless of term frequency — a stop term
     over a billion-doc merged segment streams through, never
-    materializing its posting list."""
+    materializing its posting list.
+
+    `dead` (sorted int64 array) purges tombstoned postings: a block
+    whose [first_doc, last_doc] range contains no dead id still passes
+    through untouched; only intersecting blocks decode and drop the
+    dead docs."""
 
     def run(batches):
         import numpy as np
         import pyarrow as pa
+
+        dead_arr = None if dead is None or not len(dead) else np.asarray(dead, dtype=np.int64)
 
         cols = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
                 "doc_gaps", "tfs", "dls"]
@@ -388,8 +396,13 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     emit_from_buffer(final=True)
                     cur_term = terms[i]
                     cur_seg = int(segs[i])
-                if not buf_d and ns[i] == block_size:
-                    # aligned full block: pass through untouched
+                intersects = dead_arr is not None and (
+                    int(np.searchsorted(dead_arr, firsts[i]))
+                    < int(np.searchsorted(dead_arr, lasts[i], side="right"))
+                )
+                if not buf_d and ns[i] == block_size and not intersects:
+                    # aligned full block, no tombstones in range: pass
+                    # through untouched
                     out["term"].append(cur_term)
                     out["segment_id"].append(int(segs[i]))
                     out["first_doc"].append(int(firsts[i]))
@@ -401,6 +414,12 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     out["dls"].append(dls_b[i])
                     continue
                 d, t, l = decode_block(gaps[i], tfs_b[i], dls_b[i])
+                if intersects:
+                    pos = np.searchsorted(dead_arr, d)
+                    keep = ~((pos < len(dead_arr)) & (dead_arr[np.minimum(pos, len(dead_arr) - 1)] == d))
+                    d, t, l = d[keep], t[keep], l[keep]
+                    if not len(d):
+                        continue
                 buf_d.append(d)
                 buf_t.append(t)
                 buf_l.append(l)

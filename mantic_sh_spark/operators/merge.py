@@ -27,10 +27,53 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+import numpy as np
+
 from ..functions import codec
 from ..functions.bm25 import B, K1
-from ..sources.catalog import IndexPaths, append_manifest
+from ..sources.catalog import IndexPaths, append_manifest, read_or_none
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
+
+
+def _purge_docs_and_stats(spark, paths, srcs, purge_ids) -> None:
+    """Make deletes real: drop purged rows from the src segments' docs
+    dirs, re-baseline collection_stats over the remaining norms, and
+    clear the satisfied tombstones."""
+    ids = [int(x) for x in purge_ids]
+    for seg in srcs:
+        src_dir = f"{paths.docs}/segment_id={int(seg)}"
+        remaining = read_or_none(spark, src_dir)
+        if remaining is None:
+            continue
+        staging = f"{paths.root}/docs_purge_tmp"
+        _delete_path(spark, staging)
+        remaining.filter(~F.col("doc_id").isin(ids)).write.mode("overwrite").parquet(staging)
+        _delete_path(spark, src_dir)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(src_dir)
+        _delete_path(spark, staging)
+    # stats over the remaining corpus
+    norms_all = spark.read.parquet(paths.norms)
+    import pandas as pd
+
+    row = norms_all.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    spark.createDataFrame(
+        pd.DataFrame({"n_docs": [row.n_docs], "avgdl": [float(row.avgdl or 0.0)]}),
+        "n_docs long, avgdl double",
+    ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
+    # tombstones minus the purged set
+    t = read_or_none(spark, paths.tombstones)
+    if t is not None:
+        rest = [r.doc_id for r in t.select("doc_id").distinct().collect() if r.doc_id not in set(ids)]
+        staging = f"{paths.root}/tombstones_tmp"
+        _delete_path(spark, staging)
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": pd.array(rest, dtype="int64")}), "doc_id long"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        _delete_path(spark, paths.tombstones)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(paths.tombstones)
+        _delete_path(spark, staging)
 
 
 def merge_segments(
@@ -39,10 +82,16 @@ def merge_segments(
     src_segments: list[int],
     dst_segment: int | None = None,
     compact: bool = True,
+    purge: bool = True,
     k1: float = K1,
     b: float = B,
 ) -> int:
     """Fold src segments into one. Returns the destination segment id.
+
+    purge=True (requires compact) rewrites away tombstoned postings of
+    the source segments, drops their docs/norms rows, re-baselines
+    collection_stats, and clears the satisfied tombstones — the LSM
+    "deletes become real at merge time" step.
 
     Write order is crash-safe: the destination is fully committed
     before sources are deleted; a crash in between leaves duplicates
@@ -57,6 +106,18 @@ def merge_segments(
     started = time.time()
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
     avgdl = float(stats.avgdl)
+
+    # tombstones owned by the source segments (doc-id ranges are
+    # segment-striped, so ownership is a range check)
+    purge_ids = np.empty(0, dtype=np.int64)
+    if purge and compact:
+        from .docs import SEG_STRIDE
+        from .delete import tombstone_ids
+
+        all_dead = tombstone_ids(spark, paths)
+        if len(all_dead):
+            owner = all_dead // SEG_STRIDE
+            purge_ids = all_dead[np.isin(owner, np.array(srcs, dtype=np.int64))]
 
     blocks = (
         spark.read.parquet(paths.postings)
@@ -78,7 +139,8 @@ def merge_segments(
         # O(block_size) leftovers and re-emit full blocks — a stop term
         # over the whole merged segment streams, never materializes.
         merged = ordered.mapInArrow(
-            codec.compact_stream_fn(avgdl, k1, b), schema=BLOCK_ROW_SCHEMA
+            codec.compact_stream_fn(avgdl, k1, b, dead=purge_ids if len(purge_ids) else None),
+            schema=BLOCK_ROW_SCHEMA,
         )
     else:
         merged = ordered
@@ -112,8 +174,11 @@ def merge_segments(
     terms.coalesce(1).sortWithinPartitions("term").write.mode("overwrite").parquet(
         f"{paths.terms}/segment_id={int(dst_segment)}"
     )
-    # norms: move source norm rows under the dst segment dir
+    # norms: move source norm rows under the dst segment dir (minus
+    # purged docs)
     norms = spark.read.parquet(paths.norms).filter(F.col("segment_id").isin(srcs))
+    if len(purge_ids):
+        norms = norms.filter(~F.col("doc_id").isin([int(x) for x in purge_ids]))
     norms_pdf = norms.drop("segment_id")
     staging_n = f"{paths.root}/norms_merge_tmp"
     _delete_path(spark, staging_n)
@@ -140,6 +205,9 @@ def merge_segments(
             .agg(F.min("build_avgdl"))
             .collect()[0][0]
         )
+
+    if len(purge_ids):
+        _purge_docs_and_stats(spark, paths, srcs, purge_ids)
 
     append_manifest(
         spark,

@@ -144,9 +144,14 @@ class _Cursor:
         return int(self.last[bi]) + 1
 
 
-def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
+def block_max_wand(cursors: list[_Cursor], k: int,
+                   dead: "np.ndarray | None" = None) -> list[tuple[int, float]]:
     """BMW top-k over one segment. Returns [(doc_id, score)] sorted by
-    (score desc, doc_id asc), len ≤ k."""
+    (score desc, doc_id asc), len ≤ k. `dead` = sorted tombstoned doc
+    ids; dead docs are skipped at heap-push (live-docs check) so the
+    heap holds the k best LIVE docs — pruning bounds remain sound
+    because skipping only keeps θ lower (never higher) than the
+    all-docs run."""
     # min-heap of (score, -doc_id): root = currently-worst kept result
     heap: list[tuple[float, int]] = []
 
@@ -195,18 +200,23 @@ def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
             mover = max(active[: p + 1], key=lambda c: c.ub)
             mover.seek(target)
         elif active[0].cur == pivot:
+            alive = dead is None or len(dead) == 0 or not (
+                (j := int(np.searchsorted(dead, pivot))) < len(dead) and dead[j] == pivot
+            )
             s = 0.0
-            for c in active:
-                if c.cur == pivot:
-                    s += c.score()
+            if alive:
+                for c in active:
+                    if c.cur == pivot:
+                        s += c.score()
             for c in active:
                 if c.cur == pivot:
                     c.advance()
-            item = (round(s, 4), -pivot)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+            if alive:
+                item = (round(s, 4), -pivot)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
         else:
             # align: advance a lagging cursor up to the pivot
             mover = max((c for c in active[:p] if c.cur < pivot), key=lambda c: c.ub)
@@ -216,7 +226,8 @@ def block_max_wand(cursors: list[_Cursor], k: int) -> list[tuple[int, float]]:
 
 def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
               avgdl: float, k: int, k1: float, b: float,
-              bound_factors: dict[int, float] | None = None):
+              bound_factors: dict[int, float] | None = None,
+              dead: "np.ndarray | None" = None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
         bf = (bound_factors or {}).get(seg, 1.0)
@@ -230,7 +241,7 @@ def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
             ]
             if not cursors:
                 continue
-            for doc, score in block_max_wand(cursors, k):
+            for doc, score in block_max_wand(cursors, k, dead):
                 out_q.append(qid)
                 out_d.append(doc)
                 out_s.append(score)
@@ -246,10 +257,11 @@ def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
 # an in-proc LRU over loaded indexes (src/cache.ts:10-47, ST3 in
 # SURVEY.md) — a query server loads metadata ONCE, not per query.
 # Invalidated explicitly via refresh_meta (build/extend/merge callers).
-_META_CACHE: dict[str, tuple[int, float, dict[int, float]]] = {}
+_META_CACHE: dict[str, tuple] = {}
 
 
-def _index_meta(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, dict[int, float]]:
+def _index_meta(spark: SparkSession, paths: IndexPaths):
+    """(n_docs, avgdl, bound_factors, tombstone_ids) — memoized."""
     cached = _META_CACHE.get(paths.root)
     if cached is not None:
         return cached
@@ -270,7 +282,9 @@ def _index_meta(spark: SparkSession, paths: IndexPaths) -> tuple[int, float, dic
         )
         for r in rows:
             bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
-    _META_CACHE[paths.root] = (n_docs, avgdl, bound_factors)
+    from .delete import tombstone_ids
+
+    _META_CACHE[paths.root] = (n_docs, avgdl, bound_factors, tombstone_ids(spark, paths))
     return _META_CACHE[paths.root]
 
 
@@ -295,7 +309,7 @@ def wand_topk(
     (predicate pushdown on `term` + row-group stats from the
     sort-by-term layout)."""
     paths = IndexPaths(index_dir)
-    n_docs, avgdl, bound_factors = _index_meta(spark, paths)
+    n_docs, avgdl, bound_factors, dead = _index_meta(spark, paths)
 
     q_map = {int(qid): tokenize_query(q) for qid, q in queries}
     all_terms = sorted({t for ts in q_map.values() for t in ts})
@@ -315,7 +329,8 @@ def wand_topk(
 
     blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
     per_seg = blocks.groupBy("segment_id").applyInPandas(
-        _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors),
+        _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors,
+                  dead if len(dead) else None),
         schema="query_id int, doc_id long, score double",
     )
     return rank_topk(per_seg, k)

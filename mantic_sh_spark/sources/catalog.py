@@ -72,6 +72,12 @@ class IndexPaths:
         return os.path.join(self.root, "collection_stats")
 
     @property
+    def tombstones(self) -> str:
+        # deleted doc ids (LSM tombstones): queries exclude them
+        # immediately; merge(purge=True) rewrites them away
+        return os.path.join(self.root, "tombstones")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "build_manifest")
 

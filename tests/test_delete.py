@@ -1,0 +1,98 @@
+"""Deletion semantics: tombstones exclude docs from queries instantly;
+merge(purge=True) makes deletes physical and re-baselines stats so the
+purged index is query-identical to a fresh build on the remaining
+corpus (the `deleted` leg of the reference's stale diff, A10/ST2)."""
+
+from pyspark.sql import functions as F
+
+from mantic_sh_spark.functions.tokenize import tokens_col
+from mantic_sh_spark.operators.delete import delete_docs, live_docs
+from mantic_sh_spark.operators.index_build import build_index
+from mantic_sh_spark.operators.merge import merge_segments
+from mantic_sh_spark.operators.query import bm25_topk
+from mantic_sh_spark.operators.wand import wand_topk
+from mantic_sh_spark.sources.catalog import IndexPaths
+from mantic_sh_spark.sources.synth import SynthConfig, gen_pages, gen_queries
+
+
+def _topk(rows):
+    return [(r.query_id, r.doc_id, r.score) for r in rows]
+
+
+def test_delete_excludes_from_queries(spark, tmp_path):
+    cfg = SynthConfig(n_docs=300, vocab_size=250, seed=29)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+
+    queries = gen_queries(cfg, n_queries=10)
+    before = wand_topk(spark, idx, queries, k=5).collect()
+    victims = sorted({r.doc_id for r in before})[:4]
+    assert delete_docs(spark, idx, doc_ids=victims) == 4
+
+    after = wand_topk(spark, idx, queries, k=5).collect()
+    assert not ({r.doc_id for r in after} & set(victims))
+    # still returns full k where enough live docs match
+    per_q = {}
+    for r in after:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert max(per_q.values()) == 5
+
+    # parity: WAND-with-tombstones == exhaustive over all docs (same
+    # stats incl. deleted — the pre-purge contract), filtered to live
+    docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    ex = bm25_topk(spark, docs, queries, k=5 + len(victims))
+    ex_live = (
+        ex.filter(~F.col("doc_id").isin([int(v) for v in victims]))
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    want = {}
+    for r in ex_live:
+        want.setdefault(r.query_id, [])
+        if len(want[r.query_id]) < 5:
+            want[r.query_id].append((r.doc_id, r.score))
+    got = {}
+    for r in wand_topk(spark, idx, queries, k=5).orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score))
+    assert got == {q: v for q, v in want.items() if v}
+
+
+def test_purge_matches_fresh_build(spark, tmp_path):
+    cfg = SynthConfig(n_docs=260, vocab_size=220, seed=31)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=48, block_size=16)
+
+    docs_tbl = spark.read.parquet(f"{idx}/docs")
+    victims = [r.doc_id for r in docs_tbl.select("doc_id").orderBy("doc_id").limit(30).collect()]
+    victim_urls = {r.url for r in docs_tbl.filter(F.col("doc_id").isin(victims)).collect()}
+    delete_docs(spark, idx, doc_ids=victims)
+
+    merge_segments(spark, idx, [0, 1], dst_segment=5, compact=True, purge=True)
+
+    # tombstones satisfied, stats re-baselined
+    paths = IndexPaths(idx)
+    from mantic_sh_spark.operators.delete import tombstone_ids
+
+    assert len(tombstone_ids(spark, paths)) == 0
+    stats = spark.read.parquet(paths.collection_stats).collect()[0]
+    assert stats.n_docs == 260 - 30
+
+    # fresh build over the remaining pages — compare by (url, score)
+    fresh_dir = str(tmp_path / "fresh")
+    remaining = pages.filter(~F.col("url").isin(list(victim_urls)))
+    build_index(spark, remaining, fresh_dir, n_segments=2)
+
+    queries = gen_queries(cfg, n_queries=14)
+
+    def by_url(index_dir):
+        res = wand_topk(spark, index_dir, queries, k=6)
+        d = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        rows = res.join(d, "doc_id").orderBy("query_id", "rank").collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.url, r.score))
+        return out
+
+    assert by_url(idx) == by_url(fresh_dir)
