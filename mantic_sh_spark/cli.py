@@ -47,6 +47,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--batch-segments", type=int, default=None)
     b.add_argument("--extract", action="store_true",
                    help="derive text from the html column (pinned byte-identical extraction)")
+    b.add_argument("--positions", action="store_true",
+                   help="store within-doc positions (enables --engine phrase)")
 
     e = sub.add_parser("extend", help="fold new pages into an existing index")
     e.add_argument("--index", required=True)
@@ -69,7 +71,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True, nargs="+", help="one or more query strings")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--engine", choices=["wand", "exhaustive"], default="wand")
+    q.add_argument("--engine", choices=["wand", "exhaustive", "phrase"], default="wand")
     q.add_argument("--format", choices=["json", "text"], default="json")
 
     st = sub.add_parser("stats", help="index build metrics")
@@ -91,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args)
         pages = spark.read.parquet(args.pages)
         build_index(spark, pages, args.index, n_segments=args.segments,
-                    batch_segments=args.batch_segments, extract=args.extract)
+                    batch_segments=args.batch_segments, extract=args.extract,
+                    store_positions=args.positions)
         print(json.dumps(index_stats(spark, args.index)))
 
     elif args.cmd == "extend":
@@ -126,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
             from .operators.wand import wand_topk
 
             res = wand_topk(spark, args.index, queries, k=args.k)
+        elif args.engine == "phrase":
+            from pyspark.sql import functions as F
+
+            from .operators.phrase import phrase_topk
+
+            res = phrase_topk(spark, args.index, queries, k=args.k).withColumn(
+                "score", F.col("n_matches").cast("double")
+            )
         else:
             from .functions.tokenize import tokens_col
             from .operators.query import bm25_topk

@@ -194,7 +194,8 @@ def encode_groups(
     """
     n = len(doc_ids)
     if n == 0:
-        return {k: [] for k in ("group_idx", "first_doc", "last_doc", "block_max", "n", "doc_gaps", "tfs", "dls")}
+        return {k: [] for k in ("group_idx", "first_doc", "last_doc", "block_max", "n",
+                                 "p_start", "p_end", "doc_gaps", "tfs", "dls")}
     g = np.ascontiguousarray(group_starts, dtype=np.int64)
     doc = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tf = np.ascontiguousarray(tfs, dtype=np.int64)
@@ -226,6 +227,10 @@ def encode_groups(
         "last_doc": doc[bends - 1],
         "block_max": bmax,
         "n": (bends - bstarts).astype(np.int32),
+        # posting-space block bounds — callers slicing sidecar buffers
+        # (e.g. positions) pop these
+        "p_start": bstarts,
+        "p_end": bends,
     }
     for name, arr in (("doc_gaps", gaps), ("tfs", tf), ("dls", dl)):
         nbytes = varint_nbytes(arr)
@@ -241,7 +246,8 @@ def encode_groups(
 # Lives HERE (numpy/pyarrow-only module) so that unpickling the UDF
 # closure in fresh Python workers does not drag in pandas/pyspark.sql
 # imports — worker cold-start is a measurable serial cost per stage.
-def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
+def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
+                 with_positions: bool = False):
     """Encode a sorted run of COMPLETE (term, segment, salt) groups of
     raw token rows into block rows — fully vectorized, zero pandas.
 
@@ -284,21 +290,60 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     gstarts = np.searchsorted(pstarts, grows)
     enc = encode_groups(gstarts, doc[pstarts], tf, dl[pstarts], avgdl, k1, b, block_size)
     gi = enc.pop("group_idx")
+    bs_p = enc.pop("p_start")
+    be_p = enc.pop("p_end")
     tidx = grows[gi]
-    return pa.RecordBatch.from_arrays(
-        [
-            pc.take(term, pa.array(tidx)),
-            pa.array(seg[tidx].astype(np.int32)),
-            pa.array(np.asarray(enc["first_doc"], dtype=np.int64)),
-            pa.array(np.asarray(enc["last_doc"], dtype=np.int64)),
-            pa.array(np.asarray(enc["block_max"], dtype=np.float64)),
-            pa.array(np.asarray(enc["n"], dtype=np.int32)),
-            pa.array(enc["doc_gaps"], pa.binary()),
-            pa.array(enc["tfs"], pa.binary()),
-            pa.array(enc["dls"], pa.binary()),
-        ],
-        names=["term", "segment_id", "first_doc", "last_doc", "block_max", "n", "doc_gaps", "tfs", "dls"],
-    )
+    arrays = [
+        pc.take(term, pa.array(tidx)),
+        pa.array(seg[tidx].astype(np.int32)),
+        pa.array(np.asarray(enc["first_doc"], dtype=np.int64)),
+        pa.array(np.asarray(enc["last_doc"], dtype=np.int64)),
+        pa.array(np.asarray(enc["block_max"], dtype=np.float64)),
+        pa.array(np.asarray(enc["n"], dtype=np.int32)),
+        pa.array(enc["doc_gaps"], pa.binary()),
+        pa.array(enc["tfs"], pa.binary()),
+        pa.array(enc["dls"], pa.binary()),
+    ]
+    names = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
+             "doc_gaps", "tfs", "dls"]
+    if with_positions:
+        # within-posting position deltas in RAW token space (first value
+        # of each posting run is the absolute position), one varint
+        # buffer sliced by each block's raw-row bounds
+        pos = tbl.column("pos").to_numpy()
+        pgaps = np.empty(n, dtype=np.int64)
+        pgaps[0] = pos[0]
+        np.subtract(pos[1:], pos[:-1], out=pgaps[1:])
+        pgaps[pstarts] = pos[pstarts]
+        nbytes = varint_nbytes(pgaps)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(nbytes, out=offsets[1:])
+        buf = varint_encode(pgaps)
+        pstarts_ext = np.append(pstarts, n)
+        rs = pstarts_ext[bs_p]
+        re = pstarts_ext[be_p]
+        arrays.append(
+            pa.array([buf[a:b] for a, b in zip(offsets[rs].tolist(), offsets[re].tolist())],
+                     pa.binary())
+        )
+        names.append("positions")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One block's positions bytes + its tf array → (flat absolute
+    positions, posting offsets). Posting j's positions are
+    flat[offsets[j]:offsets[j+1]] — vectorized cumsum with per-run
+    rebase (the first delta of each posting run is absolute)."""
+    g = varint_decode(buf).astype(np.int64)
+    offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offsets[1:])
+    cum = np.cumsum(g)
+    base = np.zeros(len(tfs), dtype=np.int64)
+    rs = offsets[:-1]
+    base[1:] = cum[rs[1:] - 1]
+    flat = cum - np.repeat(base, tfs)
+    return flat, offsets
 
 
 def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
@@ -436,7 +481,8 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
     return run
 
 
-def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE):
+def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
+                     with_positions: bool = False):
     """mapInArrow encoder over a partition sorted by
     (term, segment_id, salt, doc_id): Arrow batch boundaries can split
     a group, so the trailing (possibly incomplete) group of each batch
@@ -467,8 +513,8 @@ def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_
             cut = n - int(tail.sum())
             carry = tbl.slice(cut)
             if cut:
-                yield encode_table(tbl.slice(0, cut), avgdl, k1, b, block_size)
+                yield encode_table(tbl.slice(0, cut), avgdl, k1, b, block_size, with_positions)
         if carry is not None and carry.num_rows:
-            yield encode_table(carry.combine_chunks(), avgdl, k1, b, block_size)
+            yield encode_table(carry.combine_chunks(), avgdl, k1, b, block_size, with_positions)
 
     return run

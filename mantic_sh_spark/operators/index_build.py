@@ -51,6 +51,7 @@ BLOCK_ROW_SCHEMA = (
     "term string, segment_id int, first_doc long, last_doc long, "
     "block_max double, n int, doc_gaps binary, tfs binary, dls binary"
 )
+BLOCK_ROW_SCHEMA_POS = BLOCK_ROW_SCHEMA + ", positions binary"
 
 _TRACE = os.environ.get("MANTIC_TRACE_TIMING", "") not in ("", "0")
 
@@ -107,27 +108,40 @@ def build_postings_for_segments(
     k1: float = K1,
     b: float = B,
     block_size: int | None = None,
+    store_positions: bool = False,
 ) -> list[dict]:
     """Build + commit postings/terms for the given segments; return
-    manifest metric rows (not yet appended)."""
+    manifest metric rows (not yet appended). store_positions adds a
+    varint-encoded within-doc position list per posting (phrase /
+    proximity queries — operators/phrase.py)."""
     segs = sorted(set(int(s) for s in segments))
     if not segs:
         return []
     started = time.time()
     batch = docs.filter(F.col("segment_id").isin(segs))
-    toks = batch.select(
-        "segment_id", "salt", "doc_id", "doc_len", F.explode("tokens").alias("term")
-    )
+    if store_positions:
+        toks = batch.select(
+            "segment_id", "salt", "doc_id", "doc_len",
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+    else:
+        toks = batch.select(
+            "segment_id", "salt", "doc_id", "doc_len", F.explode("tokens").alias("term")
+        )
     # THE salted repartition — the build's single wide shuffle: all rows
     # of a (term, segment, salt) group land in one partition, sorted so
     # groups are contiguous runs (and a doc's occurrences of a term are
     # adjacent ⇒ tf by run-length, no separate pre-agg shuffle). The
     # vectorized stream encoder amortizes cost over ~10^5 groups per
     # task instead of paying per-group pandas overhead.
+    sort_cols = ["term", "segment_id", "salt", "doc_id"] + (["pos"] if store_positions else [])
     blocks = (
         toks.repartition("term", "segment_id", "salt")
-        .sortWithinPartitions("term", "segment_id", "salt", "doc_id")
-        .mapInArrow(encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE), schema=BLOCK_ROW_SCHEMA)
+        .sortWithinPartitions(*sort_cols)
+        .mapInArrow(
+            encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE, store_positions),
+            schema=BLOCK_ROW_SCHEMA_POS if store_positions else BLOCK_ROW_SCHEMA,
+        )
     )
     # One writer partition per segment → one sorted run per segment dir;
     # row-group min/max stats on `term` give query-time block pruning.
@@ -204,6 +218,7 @@ def build_index(
     extract: bool = False,
     chunk_size: int | None = None,
     block_size: int | None = None,
+    store_positions: bool = False,
 ) -> IndexPaths:
     """Full resumable build. Re-running after a crash (or after
     max_batches stopped it early) completes only pending segments.
@@ -302,7 +317,9 @@ def build_index(
     if max_batches is not None:
         batches = batches[:max_batches]
     for seg_batch in batches:
-        rows = build_postings_for_segments(spark, docs, paths, seg_batch, avgdl, k1, b, block_size)
+        rows = build_postings_for_segments(
+            spark, docs, paths, seg_batch, avgdl, k1, b, block_size, store_positions
+        )
         append_manifest(spark, paths, rows)
     from .wand import refresh_meta
 

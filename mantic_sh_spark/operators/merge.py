@@ -119,9 +119,16 @@ def merge_segments(
             owner = all_dead // SEG_STRIDE
             purge_ids = all_dead[np.isin(owner, np.array(srcs, dtype=np.int64))]
 
+    raw = spark.read.parquet(paths.postings)
+    if compact and "positions" in raw.columns:
+        # positional blocks re-encode through a different sidecar layout;
+        # plain (compact=False) merges — pure block-row union — work
+        raise NotImplementedError(
+            "compact/purge merges of positional indexes are not supported yet; "
+            "use compact=False (block rows concatenate unchanged)"
+        )
     blocks = (
-        spark.read.parquet(paths.postings)
-        .filter(F.col("segment_id").isin(srcs))
+        raw.filter(F.col("segment_id").isin(srcs))
         .withColumn("src_segment", F.col("segment_id"))
         .withColumn("segment_id", F.lit(int(dst_segment)))
     )

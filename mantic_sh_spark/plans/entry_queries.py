@@ -188,6 +188,37 @@ def q_wand_multi(spark, sf_dir):
 SQL_WAND_MULTI = SQL_BM25_MULTI
 
 
+def q_phrase_index_topk(spark, sf_dir):
+    """Positional-index round-trip under the oracle gate: build the
+    index with store_positions=True, serve an exact-phrase top-k from
+    positional postings, map back to table doc ids — must equal the
+    token-position self-join oracle."""
+    import hashlib
+    import os
+
+    from ..operators.index_build import build_index
+    from ..operators.phrase import phrase_topk
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/mantic_entry_posidx_{tag}"
+    if not os.path.exists(f"{idx}/build_manifest"):
+        pages = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"), "text", "lang"
+        )
+        build_index(spark, pages, idx, n_segments=4, store_positions=True)
+    # k covers every match → the comparison is tie-order-free (the
+    # engine's internal tie-break differs from table-doc_id order)
+    res = phrase_topk(spark, idx, [(0, " ".join(PHRASE))], k=100000)
+    url_map = spark.read.parquet(f"{idx}/docs").select(
+        F.col("doc_id").alias("engine_doc"), F.col("url").cast("long").alias("doc_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "engine_doc")
+        .join(F.broadcast(url_map), "engine_doc")
+        .select("doc_id", "n_matches")
+    )
+
+
 # ---------------------------------------------------------------- filters / windows / sets
 
 def q_phrase_match(spark, sf_dir):
@@ -722,6 +753,19 @@ FROM r
 PHRASE = ("spark", "join")
 
 
+SQL_PHRASE_INDEX_TOPK = f"""
+WITH pos AS (
+  SELECT doc_id, CAST(x['pos'] AS INTEGER) AS pos, x['token'] AS token FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len({TOK})),
+           i -> {{'pos': i, 'token': ({TOK})[i + 1]}})) AS x
+    FROM documents))
+SELECT a.doc_id, count(*)::BIGINT AS n_matches
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.token = '{PHRASE[0]}' AND b.token = '{PHRASE[1]}'
+GROUP BY a.doc_id
+"""
+
+
 def q_phrase_positions(spark, sf_dir):
     """R3/R5 analog: exact-phrase match via POSITIONAL intersection —
     posexplode to (doc_id, pos, token), self-join on pos+1 (reference:
@@ -882,6 +926,7 @@ REGISTRY: dict[str, tuple] = {
     "canonical_groups": (q_canonical_groups, SQL_CANONICAL_GROUPS),
     "context_boost": (q_context_boost, SQL_CONTEXT_BOOST),
     "blast_radius": (q_blast_radius, SQL_BLAST_RADIUS),
+    "phrase_index_topk": (q_phrase_index_topk, SQL_PHRASE_INDEX_TOPK),
     "phrase_positions": (q_phrase_positions, SQL_PHRASE_POSITIONS),
     "event_window_agg": (q_event_window_agg, SQL_EVENT_WINDOW_AGG),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),

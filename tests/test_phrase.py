@@ -1,0 +1,89 @@
+"""Positional index + exact-phrase top-k: results must equal a pure
+token-scan oracle (adjacent-run counting over the raw text)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mantic_sh_spark.functions.tokenize import tokenize
+from mantic_sh_spark.operators.index_build import build_index
+from mantic_sh_spark.operators.phrase import phrase_topk
+from mantic_sh_spark.operators.wand import wand_topk
+from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    cfg = SynthConfig(n_docs=300, vocab_size=120, seed=47)  # small vocab → real phrases
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path_factory.mktemp("posidx") / "idx")
+    build_index(spark, pages, idx, n_segments=3, chunk_size=64, block_size=32,
+                store_positions=True)
+    return {"cfg": cfg, "idx": idx}
+
+
+def _oracle_phrase(docs_pairs, phrase, k):
+    terms = tokenize(phrase)
+    res = []
+    for doc_id, text in docs_pairs:
+        toks = tokenize(text)
+        n = sum(
+            1
+            for i in range(len(toks) - len(terms) + 1)
+            if toks[i : i + len(terms)] == terms
+        )
+        if n:
+            res.append((doc_id, n))
+    res.sort(key=lambda x: (-x[1], x[0]))
+    return res[:k]
+
+
+def test_phrase_matches_token_scan_oracle(spark, pos_index):
+    idx = pos_index["idx"]
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "text").collect()
+    pairs = [(r.doc_id, r.text) for r in docs]
+
+    # pick REAL adjacent bigrams/trigram from the corpus + an absent one
+    t0 = tokenize(pairs[0][1])
+    phrases = [
+        (0, f"{t0[3]} {t0[4]}"),
+        (1, f"{t0[10]} {t0[11]} {t0[12]}"),
+        (2, "w0x qqneverafter"),
+    ]
+    got = {}
+    for r in phrase_topk(spark, idx, phrases, k=10).orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.n_matches))
+    for qid, q in phrases:
+        assert got.get(qid, []) == _oracle_phrase(pairs, q, 10), f"q{qid}='{q}'"
+
+
+def test_positional_index_serves_wand_identically(spark, pos_index):
+    """The positions column must not perturb BM25 serving: WAND over the
+    positional index == WAND over a positions-free build."""
+    cfg = pos_index["cfg"]
+    pages = gen_pages(spark, cfg, partitions=3)
+    import tempfile
+
+    plain = tempfile.mkdtemp(prefix="plainidx") + "/idx"
+    build_index(spark, pages, plain, n_segments=3, chunk_size=64, block_size=32)
+    queries = [(0, "w1x w4x"), (1, "w0x"), (2, "w2x w9x w5x")]
+    a = wand_topk(spark, pos_index["idx"], queries, k=8).orderBy("query_id", "rank").collect()
+    b = wand_topk(spark, plain, queries, k=8).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in a] == [
+        (r.query_id, r.doc_id, r.score) for r in b
+    ]
+
+
+def test_phrase_respects_tombstones(spark, pos_index):
+    from mantic_sh_spark.operators.delete import delete_docs
+
+    idx = pos_index["idx"]
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "text").collect()
+    t0 = tokenize(docs[0].text)
+    phrase = [(0, f"{t0[3]} {t0[4]}")]
+    before = phrase_topk(spark, idx, phrase, k=5).collect()
+    assert before
+    victim = before[0].doc_id
+    delete_docs(spark, idx, doc_ids=[int(victim)])
+    after = phrase_topk(spark, idx, phrase, k=5).collect()
+    assert victim not in {r.doc_id for r in after}
