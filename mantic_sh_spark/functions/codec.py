@@ -112,6 +112,7 @@ class Block(NamedTuple):
     doc_gaps: bytes
     tfs: bytes
     dls: bytes
+    positions: bytes = b""
 
 
 def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float) -> np.ndarray:
@@ -128,16 +129,33 @@ def encode_blocks(
     k1: float,
     b: float,
     block_size: int = BLOCK_SIZE,
+    positions_flat: np.ndarray | None = None,
 ) -> list[Block]:
-    """Sorted-by-doc_id postings (one term) → list of Blocks."""
+    """Sorted-by-doc_id postings (one term) → list of Blocks.
+    positions_flat: concatenated within-doc positions (posting j owns
+    positions_flat[off[j]:off[j+1]] with off = cumsum(tfs))."""
     n = len(doc_ids)
     if n == 0:
         return []
     norms = tf_norm(tfs, dls, avgdl, k1, b)
+    off = None
+    if positions_flat is not None:
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.asarray(tfs, dtype=np.int64), out=off[1:])
     blocks: list[Block] = []
     for s in range(0, n, block_size):
         e = min(s + block_size, n)
         d, t, l = doc_ids[s:e], tfs[s:e], dls[s:e]
+        pos_bytes = b""
+        if positions_flat is not None:
+            chunk = np.asarray(positions_flat[off[s] : off[e]], dtype=np.int64)
+            if len(chunk):
+                pg = np.empty(len(chunk), dtype=np.int64)
+                pg[0] = chunk[0]
+                np.subtract(chunk[1:], chunk[:-1], out=pg[1:])
+                starts = off[s : e] - off[s]  # run starts within chunk
+                pg[starts] = chunk[starts]
+                pos_bytes = varint_encode(pg)
         blocks.append(
             Block(
                 first_doc=int(d[0]),
@@ -147,6 +165,7 @@ def encode_blocks(
                 doc_gaps=delta_encode(d),
                 tfs=varint_encode(t),
                 dls=varint_encode(l),
+                positions=pos_bytes,
             )
         )
     return blocks
@@ -347,7 +366,7 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarra
 
 
 def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
-                      dead=None):
+                      dead=None, with_positions: bool = False):
     """mapInArrow block compactor for segment merges: input is block
     rows sorted by (term, first_doc) within each partition. Full blocks
     PASS THROUGH without decode; undersized blocks (chunk/segment tails)
@@ -368,12 +387,13 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
         dead_arr = None if dead is None or not len(dead) else np.asarray(dead, dtype=np.int64)
 
         cols = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
-                "doc_gaps", "tfs", "dls"]
+                "doc_gaps", "tfs", "dls"] + (["positions"] if with_positions else [])
         cur_term = None
         cur_seg = 0
         buf_d: list = []  # leftover decoded postings for cur_term
         buf_t: list = []
         buf_l: list = []
+        buf_p: list = []  # flat positions parallel to buf_d pieces
         out: dict = {c: [] for c in cols}
 
         def buffered() -> int:
@@ -382,16 +402,23 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
         def emit_from_buffer(final: bool) -> None:
             """Re-encode leftover into blocks; keep a < block_size tail
             unless final."""
-            nonlocal buf_d, buf_t, buf_l
+            nonlocal buf_d, buf_t, buf_l, buf_p
             if not buf_d:
                 return
             d = np.concatenate(buf_d)
             t = np.concatenate(buf_t)
             l = np.concatenate(buf_l)
+            pflat = np.concatenate(buf_p) if with_positions else None
             n_full = (len(d) // block_size) * block_size
             take = len(d) if final else n_full
+            ptake = 0
             if take:
-                for bl in encode_blocks(d[:take], t[:take], l[:take], avgdl, k1, b, block_size):
+                if with_positions:
+                    ptake = int(t[:take].sum())
+                for bl in encode_blocks(
+                    d[:take], t[:take], l[:take], avgdl, k1, b, block_size,
+                    positions_flat=pflat[:ptake] if with_positions else None,
+                ):
                     out["term"].append(cur_term)
                     out["segment_id"].append(cur_seg)
                     out["first_doc"].append(bl.first_doc)
@@ -401,9 +428,13 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     out["doc_gaps"].append(bl.doc_gaps)
                     out["tfs"].append(bl.tfs)
                     out["dls"].append(bl.dls)
+                    if with_positions:
+                        out["positions"].append(bl.positions)
             buf_d = [d[take:]] if take < len(d) else []
             buf_t = [t[take:]] if take < len(d) else []
             buf_l = [l[take:]] if take < len(d) else []
+            if with_positions:
+                buf_p = [pflat[ptake:]] if take < len(d) else []
 
         def flush_out():
             nonlocal out
@@ -420,7 +451,8 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     pa.array(out["doc_gaps"], pa.binary()),
                     pa.array(out["tfs"], pa.binary()),
                     pa.array(out["dls"], pa.binary()),
-                ],
+                ]
+                + ([pa.array(out["positions"], pa.binary())] if with_positions else []),
                 names=cols,
             )
             out = {c: [] for c in cols}
@@ -436,6 +468,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
             gaps = rb.column("doc_gaps").to_pylist()
             tfs_b = rb.column("tfs").to_pylist()
             dls_b = rb.column("dls").to_pylist()
+            pos_b = rb.column("positions").to_pylist() if with_positions else None
             for i in range(rb.num_rows):
                 if terms[i] != cur_term:
                     emit_from_buffer(final=True)
@@ -457,17 +490,26 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     out["doc_gaps"].append(gaps[i])
                     out["tfs"].append(tfs_b[i])
                     out["dls"].append(dls_b[i])
+                    if with_positions:
+                        out["positions"].append(pos_b[i])
                     continue
                 d, t, l = decode_block(gaps[i], tfs_b[i], dls_b[i])
+                pf = None
+                if with_positions:
+                    pf, _poff = decode_positions(pos_b[i], t)
                 if intersects:
                     pos = np.searchsorted(dead_arr, d)
                     keep = ~((pos < len(dead_arr)) & (dead_arr[np.minimum(pos, len(dead_arr) - 1)] == d))
+                    if with_positions:
+                        pf = pf[np.repeat(keep, t)]
                     d, t, l = d[keep], t[keep], l[keep]
                     if not len(d):
                         continue
                 buf_d.append(d)
                 buf_t.append(t)
                 buf_l.append(l)
+                if with_positions:
+                    buf_p.append(pf)
                 if buffered() >= block_size:
                     emit_from_buffer(final=False)
             rb_out = flush_out()

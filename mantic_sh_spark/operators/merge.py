@@ -120,13 +120,7 @@ def merge_segments(
             purge_ids = all_dead[np.isin(owner, np.array(srcs, dtype=np.int64))]
 
     raw = spark.read.parquet(paths.postings)
-    if compact and "positions" in raw.columns:
-        # positional blocks re-encode through a different sidecar layout;
-        # plain (compact=False) merges — pure block-row union — work
-        raise NotImplementedError(
-            "compact/purge merges of positional indexes are not supported yet; "
-            "use compact=False (block rows concatenate unchanged)"
-        )
+    has_positions = "positions" in raw.columns
     blocks = (
         raw.filter(F.col("segment_id").isin(srcs))
         .withColumn("src_segment", F.col("segment_id"))
@@ -145,9 +139,15 @@ def merge_segments(
         # WITHOUT decode; ragged chunk/segment tails buffer into
         # O(block_size) leftovers and re-emit full blocks — a stop term
         # over the whole merged segment streams, never materializes.
+        from .index_build import BLOCK_ROW_SCHEMA_POS
+
         merged = ordered.mapInArrow(
-            codec.compact_stream_fn(avgdl, k1, b, dead=purge_ids if len(purge_ids) else None),
-            schema=BLOCK_ROW_SCHEMA,
+            codec.compact_stream_fn(
+                avgdl, k1, b,
+                dead=purge_ids if len(purge_ids) else None,
+                with_positions=has_positions,
+            ),
+            schema=BLOCK_ROW_SCHEMA_POS if has_positions else BLOCK_ROW_SCHEMA,
         )
     else:
         merged = ordered

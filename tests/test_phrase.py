@@ -87,3 +87,45 @@ def test_phrase_respects_tombstones(spark, pos_index):
     delete_docs(spark, idx, doc_ids=[int(victim)])
     after = phrase_topk(spark, idx, phrase, k=5).collect()
     assert victim not in {r.doc_id for r in after}
+
+
+def test_positional_merge_purge_preserves_phrases(spark, tmp_path):
+    """Full LSM composition on a positional index: delete docs, merge
+    all segments with compact+purge, and phrase results must equal the
+    token-scan oracle over the REMAINING corpus."""
+    from mantic_sh_spark.operators.delete import delete_docs, tombstone_ids
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    cfg = SynthConfig(n_docs=250, vocab_size=100, seed=53)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=48, block_size=16,
+                store_positions=True)
+
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "text").collect()
+    t0 = tokenize(docs[0].text)
+    phrase = [(0, f"{t0[5]} {t0[6]}")]
+    victims = [int(r.doc_id) for r in docs[:20]]
+    delete_docs(spark, idx, doc_ids=victims)
+    merge_segments(spark, idx, [0, 1], dst_segment=4, compact=True, purge=True)
+    assert len(tombstone_ids(spark, IndexPaths(idx))) == 0
+
+    remaining = [(r.doc_id, r.text) for r in docs if r.doc_id not in set(victims)]
+    got = [(r.doc_id, r.n_matches) for r in
+           phrase_topk(spark, idx, phrase, k=100000).orderBy("rank").collect()]
+    want = _oracle_phrase(remaining, phrase[0][1], 10**6)
+    assert sorted(got) == sorted(want) and len(want) > 0
+
+    # WAND over the purged positional index still rank-identical to
+    # exhaustive over the remaining docs
+    from mantic_sh_spark.functions.tokenize import tokens_col
+    from mantic_sh_spark.operators.query import bm25_topk
+
+    queries = [(0, "w1x w3x"), (1, "w0x")]
+    rw = wand_topk(spark, idx, queries, k=6).orderBy("query_id", "rank").collect()
+    live = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    rx = bm25_topk(spark, live, queries, k=6).orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.doc_id, r.score) for r in rw] == [
+        (r.query_id, r.doc_id, r.score) for r in rx
+    ]
