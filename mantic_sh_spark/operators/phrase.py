@@ -37,7 +37,26 @@ def _term_postings(pdf: pd.DataFrame) -> tuple[np.ndarray, list[np.ndarray]]:
     return (np.concatenate(docs_all) if docs_all else np.empty(0, dtype=np.int64)), pos_all
 
 
-def _phrase_udf(queries: dict[int, list[str]], dead: np.ndarray | None = None):
+def _match_count(pos_lists: list[np.ndarray], slop: int) -> int:
+    """Number of valid in-order matches: for each start p0 ∈ P_0, greedily
+    take the smallest p_i ∈ P_i with p_i > p_{i-1}; valid when the total
+    stretch (p_m − p0 − m) ≤ slop. Greedy-smallest minimizes the stretch,
+    so this is exact. Vectorized over all starts at once. slop=0 is the
+    exact-adjacency phrase."""
+    p0 = pos_lists[0]
+    prev = p0
+    valid = np.ones(len(p0), dtype=bool)
+    for pi in pos_lists[1:]:
+        idx = np.searchsorted(pi, prev + 1)
+        valid &= idx < len(pi)
+        prev = pi[np.minimum(idx, len(pi) - 1)]
+    m = len(pos_lists) - 1
+    valid &= (prev - p0 - m) <= slop
+    return int(valid.sum())
+
+
+def _phrase_udf(queries: dict[int, list[str]], dead: np.ndarray | None = None,
+                slop: int = 0):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {t: g for t, g in pdf.groupby("term")}
         out_q, out_d, out_n = [], [], []
@@ -59,18 +78,16 @@ def _phrase_udf(queries: dict[int, list[str]], dead: np.ndarray | None = None):
                 )
                 cand = cand[~hit]
             for doc in cand.tolist():
-                spans = None
-                for i, t in enumerate(terms):
+                pos_lists = []
+                for t in terms:
                     docs_t, pos_t = decoded[t]
                     j = int(np.searchsorted(docs_t, doc))
-                    p = pos_t[j] - i
-                    spans = p if spans is None else np.intersect1d(spans, p, assume_unique=True)
-                    if not len(spans):
-                        break
-                if spans is not None and len(spans):
+                    pos_lists.append(pos_t[j])
+                n = _match_count(pos_lists, slop)
+                if n:
                     out_q.append(qid)
                     out_d.append(doc)
-                    out_n.append(len(spans))
+                    out_n.append(n)
         return pd.DataFrame(
             {
                 "query_id": pd.array(out_q, dtype="int32"),
@@ -87,10 +104,12 @@ def phrase_topk(
     index_dir: str,
     phrases: list[tuple[int, str]],
     k: int = 10,
+    slop: int = 0,
 ) -> DataFrame:
-    """(query_id, doc_id, n_matches, rank): docs containing each exact
-    phrase, ranked by occurrence count (desc) then doc_id. Requires an
-    index built with store_positions=True."""
+    """(query_id, doc_id, n_matches, rank): docs containing each phrase,
+    ranked by occurrence count (desc) then doc_id. slop=0 → exact
+    adjacency; slop=N allows the in-order match to stretch by up to N
+    extra tokens (proximity search). Requires store_positions=True."""
     paths = IndexPaths(index_dir)
     # ordered, NON-deduplicated tokens — phrase semantics need repeats
     q_map = {int(qid): tokenize(q) for qid, q in phrases}
@@ -105,7 +124,7 @@ def phrase_topk(
     if "positions" not in blocks.columns:
         raise ValueError("phrase_topk requires an index built with store_positions=True")
     per_seg = blocks.groupBy("segment_id").applyInPandas(
-        _phrase_udf(q_map, dead if len(dead) else None),
+        _phrase_udf(q_map, dead if len(dead) else None, slop),
         schema="query_id int, doc_id long, n_matches long",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), F.asc("doc_id"))

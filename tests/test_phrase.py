@@ -74,10 +74,14 @@ def test_positional_index_serves_wand_identically(spark, pos_index):
     ]
 
 
-def test_phrase_respects_tombstones(spark, pos_index):
+def test_phrase_respects_tombstones(spark, pos_index, tmp_path):
+    import shutil
+
     from mantic_sh_spark.operators.delete import delete_docs
 
-    idx = pos_index["idx"]
+    # copy the shared index — tombstoning must not pollute other tests
+    idx = str(tmp_path / "idx_copy")
+    shutil.copytree(pos_index["idx"], idx)
     docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "text").collect()
     t0 = tokenize(docs[0].text)
     phrase = [(0, f"{t0[3]} {t0[4]}")]
@@ -129,3 +133,45 @@ def test_positional_merge_purge_preserves_phrases(spark, tmp_path):
     assert [(r.query_id, r.doc_id, r.score) for r in rw] == [
         (r.query_id, r.doc_id, r.score) for r in rx
     ]
+
+
+def _oracle_sloppy(docs_pairs, phrase, slop, k):
+    """Greedy-smallest in-order match with total stretch ≤ slop."""
+    terms = tokenize(phrase)
+    res = []
+    for doc_id, text in docs_pairs:
+        toks = tokenize(text)
+        pos = {t: [i for i, x in enumerate(toks) if x == t] for t in set(terms)}
+        if any(not pos[t] for t in terms):
+            continue
+        n = 0
+        for p0 in pos[terms[0]]:
+            prev, ok = p0, True
+            for t in terms[1:]:
+                nxt = [p for p in pos[t] if p > prev]
+                if not nxt:
+                    ok = False
+                    break
+                prev = nxt[0]
+            if ok and (prev - p0 - (len(terms) - 1)) <= slop:
+                n += 1
+        if n:
+            res.append((doc_id, n))
+    res.sort(key=lambda x: (-x[1], x[0]))
+    return res[:k]
+
+
+def test_sloppy_phrase_matches_oracle(spark, pos_index):
+    idx = pos_index["idx"]
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "text").collect()
+    pairs = [(r.doc_id, r.text) for r in docs]
+    t0 = tokenize(pairs[0][1])
+    for slop in (0, 2, 5):
+        phrases = [(0, f"{t0[3]} {t0[6]}"), (1, f"{t0[0]} {t0[4]} {t0[8]}")]
+        got = {}
+        rows = phrase_topk(spark, idx, phrases, k=100000, slop=slop).collect()
+        for r in rows:
+            got.setdefault(r.query_id, []).append((r.doc_id, r.n_matches))
+        for qid, q in phrases:
+            want = _oracle_sloppy(pairs, q, slop, 10**6)
+            assert sorted(got.get(qid, [])) == sorted(want), f"slop={slop} q='{q}'"
