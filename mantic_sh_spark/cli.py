@@ -72,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--q", required=True, nargs="+", help="one or more query strings")
     q.add_argument("--k", type=int, default=10)
     q.add_argument("--engine", choices=["wand", "exhaustive", "phrase"], default="wand")
+    q.add_argument("--slop", type=int, default=0, help="proximity window for --engine phrase")
     q.add_argument("--format", choices=["json", "text"], default="json")
 
     st = sub.add_parser("stats", help="index build metrics")
@@ -134,7 +135,7 @@ def main(argv: list[str] | None = None) -> int:
 
             from .operators.phrase import phrase_topk
 
-            res = phrase_topk(spark, args.index, queries, k=args.k).withColumn(
+            res = phrase_topk(spark, args.index, queries, k=args.k, slop=args.slop).withColumn(
                 "score", F.col("n_matches").cast("double")
             )
         else:
