@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_block, decode_positions, varint_decode
+from ..functions.codec import decode_block, decode_positions
 from ..functions.tokenize import tokenize
 from ..sources.catalog import IndexPaths
 

@@ -26,7 +26,6 @@ stay valid upper bounds under any df.
 from __future__ import annotations
 
 import heapq
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
