@@ -5,9 +5,13 @@ queries()      — one Spark callable per implemented operator
                  (SURVEY.md §2 inventory; see
                  mantic_sh_spark/plans/entry_queries.py).
 oracle_sql()   — DuckDB-equivalent ANSI SQL for each query (the
-                 correctness gate); non-SQL-expressible ops (WAND,
-                 codec, LSH buckets, multimodal stubs) are covered by
-                 pytest instead.
+                 correctness gate). All 43 queries() entries carry an
+                 oracle — including the full index round-trips
+                 wand_multi (compressed postings + Block-Max WAND) and
+                 phrase_index_topk (positional postings + exact-phrase
+                 top-k). Internals with no SQL form (codec round-trips,
+                 WAND pruning, streaming state, LSH recall, multimodal
+                 stubs) are pytest-verified; see COVERAGE.md.
 """
 
 from __future__ import annotations
