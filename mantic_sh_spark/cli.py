@@ -140,9 +140,13 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             from .functions.tokenize import tokens_col
+            from .operators.delete import live_docs
             from .operators.query import bm25_topk
+            from .sources.catalog import IndexPaths
 
             docs = spark.read.parquet(f"{args.index}/docs").withColumn("tokens", tokens_col("text"))
+            # tombstone parity with wand/phrase: score only live docs
+            docs = live_docs(docs, spark, IndexPaths(args.index))
             res = bm25_topk(spark, docs, queries, k=args.k)
         docs_tbl = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
         from pyspark.sql import functions as F

@@ -113,16 +113,31 @@ def ngram_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return t.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
+def _candidate_intersections(l: DataFrame, r: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Pre-aggregation intersection rows, candidate-bounded: route the
+    shingle match THROUGH the (a, b) pair key — candidates ⋈ shingles(a)
+    ⋈ shingles(b) on (b, shingle) — so the row count is
+    Σ_pairs |shingles(a)| at the probe and Σ_pairs |shingles(a) ∩
+    shingles(b)| at the output. The co-shingle self-join fanout (one hot
+    shingle → quadratic pairs) never materializes, which is the whole
+    point of running LSH first."""
+    pairs = candidates.filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    return pairs.join(l, "a").join(r, ["b", "shingle"])
+
+
 def jaccard_pairs(shingles: DataFrame, threshold: float, candidates: DataFrame | None = None) -> DataFrame:
     """(a, b, jac): exact Jaccard over shingle sets; restricted to a
-    candidate-pair DataFrame when given (the LSH→verify pattern),
+    candidate-pair DataFrame when given (the LSH→verify pattern — the
+    shingle join is candidate-bounded BEFORE any aggregation),
     otherwise all pairs a<b (BOUNDED INPUTS ONLY)."""
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     l = shingles.select(F.col("doc_id").alias("a"), "shingle")
     r = shingles.select(F.col("doc_id").alias("b"), "shingle")
-    inter = l.join(r, "shingle").filter(F.col("a") < F.col("b")).groupBy("a", "b").agg(F.count(F.lit(1)).alias("ix"))
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "left_semi")
+        joined = _candidate_intersections(l, r, candidates)
+    else:
+        joined = l.join(r, "shingle").filter(F.col("a") < F.col("b"))
+    inter = joined.groupBy("a", "b").agg(F.count(F.lit(1)).alias("ix"))
     sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
     out = (

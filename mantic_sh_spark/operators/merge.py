@@ -212,6 +212,13 @@ def merge_segments(
             .agg(F.min("build_avgdl"))
             .collect()[0][0]
         )
+    if compact:
+        # ragged tails were re-encoded at the CURRENT avgdl while full
+        # blocks passed through at their src build avgdl — the recorded
+        # encoding avgdl must be the min over BOTH so the query-time
+        # inflation factor max(1, avgdl_now/build_avgdl) stays an upper
+        # bound after later upward drift.
+        mn = avgdl if mn is None else min(float(mn), avgdl)
 
     if len(purge_ids):
         _purge_docs_and_stats(spark, paths, srcs, purge_ids)

@@ -252,16 +252,28 @@ def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
 
 
 # Per-process memo of index metadata (collection stats + WAND bound
-# factors), keyed by index_dir. The reference keeps the same thing as
-# an in-proc LRU over loaded indexes (src/cache.ts:10-47, ST3 in
-# SURVEY.md) — a query server loads metadata ONCE, not per query.
+# factors), keyed by the NORMALIZED index_dir. The reference keeps the
+# same thing as an in-proc LRU over loaded indexes (src/cache.ts:10-47,
+# ST3 in SURVEY.md) — a query server loads metadata ONCE, not per query.
 # Invalidated explicitly via refresh_meta (build/extend/merge callers).
 _META_CACHE: dict[str, tuple] = {}
 
 
+def _cache_key(root: str) -> str:
+    """Normalize so `idx/`, `./idx` and `/abs/idx` hit one entry —
+    otherwise refresh_meta after a delete/extend could miss the cached
+    spelling and leave stale tombstones serving queries."""
+    import os
+
+    if "://" in root:  # non-local FS URI — normalize only the path part
+        scheme, rest = root.split("://", 1)
+        return f"{scheme}://{os.path.normpath(rest)}"
+    return os.path.abspath(os.path.normpath(root))
+
+
 def _index_meta(spark: SparkSession, paths: IndexPaths):
     """(n_docs, avgdl, bound_factors, tombstone_ids) — memoized."""
-    cached = _META_CACHE.get(paths.root)
+    cached = _META_CACHE.get(_cache_key(paths.root))
     if cached is not None:
         return cached
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
@@ -283,8 +295,9 @@ def _index_meta(spark: SparkSession, paths: IndexPaths):
             bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
     from .delete import tombstone_ids
 
-    _META_CACHE[paths.root] = (n_docs, avgdl, bound_factors, tombstone_ids(spark, paths))
-    return _META_CACHE[paths.root]
+    key = _cache_key(paths.root)
+    _META_CACHE[key] = (n_docs, avgdl, bound_factors, tombstone_ids(spark, paths))
+    return _META_CACHE[key]
 
 
 def refresh_meta(index_dir: str | None = None) -> None:
@@ -292,7 +305,7 @@ def refresh_meta(index_dir: str | None = None) -> None:
     if index_dir is None:
         _META_CACHE.clear()
     else:
-        _META_CACHE.pop(IndexPaths(index_dir).root, None)
+        _META_CACHE.pop(_cache_key(IndexPaths(index_dir).root), None)
 
 
 def wand_topk(
@@ -326,7 +339,15 @@ def wand_topk(
     )
     idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
 
-    blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
+    # project to exactly the columns the cursors read BEFORE the
+    # groupBy exchange — on a positional index this keeps the (largest)
+    # positions column out of the scan and shuffle entirely
+    blocks = (
+        spark.read.parquet(paths.postings)
+        .filter(F.col("term").isin(all_terms))
+        .select("term", "segment_id", "first_doc", "last_doc", "block_max", "n",
+                "doc_gaps", "tfs", "dls")
+    )
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors,
                   dead if len(dead) else None),

@@ -82,11 +82,34 @@ class IndexPaths:
         return os.path.join(self.root, "build_manifest")
 
 
+def _path_has_data(spark: SparkSession, path: str) -> bool:
+    """FileSystem-API existence probe (no Spark job, no logged
+    exception): true when the path exists and holds at least one
+    non-hidden file — a 0-row parquet write leaves only _SUCCESS,
+    which the parquet reader cannot infer a schema from."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return False
+    stack = [jpath]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            if st.isDirectory():
+                stack.append(st.getPath())
+            else:
+                return True
+    return False
+
+
 def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    if not _path_has_data(spark, path):
         return None
+    return spark.read.parquet(path)
 
 
 def read_manifest(spark: SparkSession, paths: IndexPaths) -> DataFrame:

@@ -38,8 +38,18 @@ def extend_index(
     n_new_segments: int = 4,
 ) -> list[int]:
     """Fold new pages into an existing index as fresh segments.
-    Returns the new segment ids."""
+    Returns the new segment ids.
+
+    Positional indexes extend positionally: whether the existing
+    postings carry a `positions` column is detected from the committed
+    schema, so an extend can never silently append position-less
+    segments into a positional index (which would corrupt phrase
+    queries on the new segments)."""
     paths = IndexPaths(index_dir)
+    from ..sources.catalog import read_or_none
+
+    existing_postings = read_or_none(spark, paths.postings)
+    store_positions = existing_postings is not None and "positions" in existing_postings.columns
     existing = spark.read.parquet(paths.docs)
     seg_base = existing.agg(F.max("segment_id")).collect()[0][0] + 1
 
@@ -74,7 +84,9 @@ def extend_index(
 
     batch = all_docs.filter(F.col("segment_id") >= seg_base).withColumn("tokens", tokens_col("text"))
     segs = [r.segment_id for r in batch.select("segment_id").distinct().collect()]
-    rows = build_postings_for_segments(spark, batch, paths, segs, avgdl=float(row.avgdl))
+    rows = build_postings_for_segments(
+        spark, batch, paths, segs, avgdl=float(row.avgdl), store_positions=store_positions
+    )
     for r in rows:
         r["started_at"] = t0
     append_manifest(spark, paths, rows)

@@ -58,3 +58,25 @@ def test_cli_extend_and_merge(spark, tmp_path, capsys):
     assert main(["query", "--index", idx, "--q", "w2x", "--k", "3"]) == 0
     res = json.loads(capsys.readouterr().out.strip())
     assert len(res.get("w2x", [])) == 3
+
+
+def test_cli_exhaustive_respects_delete(spark, tmp_path, capsys):
+    """`query --engine exhaustive` must exclude tombstoned docs just
+    like wand/phrase (ADVICE r1, medium)."""
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    main(["synth", "--out", pages, "--n-docs", "150", "--vocab", "300"])
+    main(["build", "--pages", pages, "--index", idx, "--segments", "2"])
+    capsys.readouterr()
+
+    assert main(["query", "--index", idx, "--q", "w1x", "--k", "3"]) == 0
+    before = json.loads(capsys.readouterr().out.strip())["w1x"]
+    victim_url = before[0]["url"]
+
+    assert main(["delete", "--index", idx, "--urls", victim_url]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["tombstoned"] == 1
+
+    for engine in ("wand", "exhaustive"):
+        assert main(["query", "--index", idx, "--q", "w1x", "--k", "3", "--engine", engine]) == 0
+        after = json.loads(capsys.readouterr().out.strip())["w1x"]
+        assert all(r["url"] != victim_url for r in after), engine

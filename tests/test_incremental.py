@@ -68,3 +68,46 @@ def test_stream_index(spark, tmp_path):
     assert docs.count() == 160
     res = wand_topk(spark, idx, [(0, "w0x")], k=5)
     assert res.count() == 5
+
+
+def test_extend_positional_index_keeps_positions(spark, tmp_path):
+    """Extending a positional index must append POSITIONAL postings
+    (store_positions auto-detected from the committed schema) — phrase
+    queries over docs in the NEW segments would otherwise crash or
+    silently miss (ADVICE r1, high)."""
+    from mantic_sh_spark.functions.tokenize import tokenize
+    from mantic_sh_spark.operators.phrase import phrase_topk
+
+    cfg = SynthConfig(n_docs=200, vocab_size=120, seed=47)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "posidx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=64, block_size=32,
+                store_positions=True)
+
+    cfg2 = replace(cfg, seed=48, needle_every=0)
+    new_pages = gen_pages(spark, cfg2, partitions=2).withColumn(
+        "url", F.regexp_replace("url", "example/", "example/new/")
+    )
+    segs = extend_index(spark, idx, new_pages, n_new_segments=2)
+
+    # new segments carry non-null positions bytes
+    new_posts = spark.read.parquet(f"{idx}/postings").filter(F.col("segment_id").isin(segs))
+    assert "positions" in new_posts.columns
+    assert new_posts.filter(F.col("positions").isNull()).count() == 0
+
+    # phrase results over the combined corpus equal a token-scan oracle
+    phrase = "w0x w1x"
+    res = {(r.doc_id, r.n_matches) for r in phrase_topk(spark, idx, [(0, phrase)], k=100000).collect()}
+    terms = tokenize(phrase)
+    oracle = set()
+    for r in spark.read.parquet(f"{idx}/docs").select("doc_id", "text").collect():
+        toks = tokenize(r.text)
+        n = sum(1 for i in range(len(toks) - 1) if toks[i : i + 2] == terms)
+        if n:
+            oracle.add((r.doc_id, n))
+    assert res == oracle and oracle, "phrase must match oracle over old AND new segments"
+    new_doc_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{idx}/docs").filter(F.col("segment_id").isin(segs)).select("doc_id").collect()
+    }
+    assert {d for d, _ in oracle} & new_doc_ids, "oracle must cover new-segment docs"
