@@ -55,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--pages", required=True)
     e.add_argument("--new-segments", type=int, default=4)
 
+    u = sub.add_parser("upsert", help="incremental update: detect added/modified urls, "
+                                      "tombstone old versions, fold in the delta")
+    u.add_argument("--index", required=True)
+    u.add_argument("--pages", required=True)
+    u.add_argument("--new-segments", type=int, default=4)
+
     m = sub.add_parser("merge", help="k-way merge segments")
     m.add_argument("--index", required=True)
     m.add_argument("--segments", required=True, help="comma-separated src segment ids")
@@ -78,7 +84,19 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats", help="index build metrics")
     st.add_argument("--index", required=True)
 
+    sv = sub.add_parser("serve", help="long-lived JSON-lines query service (no Spark "
+                                      "job per query; see mantic_sh_spark/serve.py)")
+    sv.add_argument("--index", required=True)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        # serving replicas read the committed parquet directly — no JVM
+        from .serve import serve_loop
+
+        served = serve_loop(args.index)
+        print(json.dumps({"served": served}), file=sys.stderr)
+        return 0
 
     if args.cmd == "synth":
         from .sources.synth import SynthConfig, gen_pages
@@ -105,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args)
         segs = extend_index(spark, args.index, spark.read.parquet(args.pages), args.new_segments)
         print(json.dumps({"new_segments": segs, **index_stats(spark, args.index)}))
+
+    elif args.cmd == "upsert":
+        from .operators.index_build import index_stats
+        from .streaming.incremental import upsert_pages
+
+        spark = _spark(args)
+        res = upsert_pages(spark, args.index, spark.read.parquet(args.pages), args.new_segments)
+        print(json.dumps({**res, **index_stats(spark, args.index)}))
 
     elif args.cmd == "merge":
         from .operators.merge import merge_segments

@@ -35,11 +35,15 @@ from ..sources.catalog import IndexPaths, append_manifest, read_or_none
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
 
 
-def _purge_docs_and_stats(spark, paths, srcs, purge_ids) -> None:
+def _purge_docs_and_stats(spark, paths, srcs, purge_df) -> None:
     """Make deletes real: drop purged rows from the src segments' docs
     dirs, re-baseline collection_stats over the remaining norms, and
-    clear the satisfied tombstones."""
-    ids = [int(x) for x in purge_ids]
+    clear the satisfied tombstones. All id-set filters are ANTI-JOINS
+    against the purge DataFrame — no id list ever reaches the driver or
+    an expression tree, so a 10^8-tombstone purge plans the same as a
+    10-tombstone one."""
+    import pandas as pd
+
     for seg in srcs:
         src_dir = f"{paths.docs}/segment_id={int(seg)}"
         remaining = read_or_none(spark, src_dir)
@@ -47,14 +51,12 @@ def _purge_docs_and_stats(spark, paths, srcs, purge_ids) -> None:
             continue
         staging = f"{paths.root}/docs_purge_tmp"
         _delete_path(spark, staging)
-        remaining.filter(~F.col("doc_id").isin(ids)).write.mode("overwrite").parquet(staging)
+        remaining.join(purge_df, "doc_id", "left_anti").write.mode("overwrite").parquet(staging)
         _delete_path(spark, src_dir)
         spark.read.parquet(staging).write.mode("overwrite").parquet(src_dir)
         _delete_path(spark, staging)
     # stats over the remaining corpus
     norms_all = spark.read.parquet(paths.norms)
-    import pandas as pd
-
     row = norms_all.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
@@ -62,17 +64,18 @@ def _purge_docs_and_stats(spark, paths, srcs, purge_ids) -> None:
         pd.DataFrame({"n_docs": [row.n_docs], "avgdl": [float(row.avgdl or 0.0)]}),
         "n_docs long, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
-    # tombstones minus the purged set
+    # tombstones minus the purged set (anti-join, staged swap)
     t = read_or_none(spark, paths.tombstones)
     if t is not None:
-        rest = [r.doc_id for r in t.select("doc_id").distinct().collect() if r.doc_id not in set(ids)]
         staging = f"{paths.root}/tombstones_tmp"
         _delete_path(spark, staging)
-        spark.createDataFrame(
-            pd.DataFrame({"doc_id": pd.array(rest, dtype="int64")}), "doc_id long"
-        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        t.select("doc_id").distinct().join(purge_df, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        rest = read_or_none(spark, staging)
         _delete_path(spark, paths.tombstones)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(paths.tombstones)
+        if rest is not None:
+            rest.write.mode("overwrite").parquet(paths.tombstones)
         _delete_path(spark, staging)
 
 
@@ -108,16 +111,22 @@ def merge_segments(
     avgdl = float(stats.avgdl)
 
     # tombstones owned by the source segments (doc-id ranges are
-    # segment-striped, so ownership is a range check)
+    # segment-striped, so ownership is integer division by the stride).
+    # purge_df is the plan-side form (anti-joins); purge_ids is the
+    # in-task liveness array the streaming compactor ships — bounded
+    # use, see delete.tombstone_ids.
     purge_ids = np.empty(0, dtype=np.int64)
+    purge_df = None
     if purge and compact:
         from .docs import SEG_STRIDE
-        from .delete import tombstone_ids
+        from .delete import tombstone_df
 
-        all_dead = tombstone_ids(spark, paths)
-        if len(all_dead):
-            owner = all_dead // SEG_STRIDE
-            purge_ids = all_dead[np.isin(owner, np.array(srcs, dtype=np.int64))]
+        t = tombstone_df(spark, paths)
+        if t is not None:
+            owned = t.filter(F.expr(f"CAST(doc_id DIV {SEG_STRIDE} AS INT)").isin(srcs))
+            purge_ids = owned.toPandas()["doc_id"].to_numpy(dtype=np.int64, copy=True)
+            purge_ids.sort()
+            purge_df = owned if len(purge_ids) else None
 
     raw = spark.read.parquet(paths.postings)
     has_positions = "positions" in raw.columns
@@ -184,8 +193,8 @@ def merge_segments(
     # norms: move source norm rows under the dst segment dir (minus
     # purged docs)
     norms = spark.read.parquet(paths.norms).filter(F.col("segment_id").isin(srcs))
-    if len(purge_ids):
-        norms = norms.filter(~F.col("doc_id").isin([int(x) for x in purge_ids]))
+    if purge_df is not None:
+        norms = norms.join(purge_df, "doc_id", "left_anti")
     norms_pdf = norms.drop("segment_id")
     staging_n = f"{paths.root}/norms_merge_tmp"
     _delete_path(spark, staging_n)
@@ -220,8 +229,8 @@ def merge_segments(
         # bound after later upward drift.
         mn = avgdl if mn is None else min(float(mn), avgdl)
 
-    if len(purge_ids):
-        _purge_docs_and_stats(spark, paths, srcs, purge_ids)
+    if purge_df is not None:
+        _purge_docs_and_stats(spark, paths, srcs, purge_df)
 
     append_manifest(
         spark,

@@ -223,6 +223,88 @@ def block_max_wand(cursors: list[_Cursor], k: int,
     return sorted([(-nd, s) for s, nd in heap], key=lambda x: (-x[1], x[0]))
 
 
+# Per-segment engine choice: Block-Max WAND's per-doc evaluation loop
+# wins when a selective term drives skipping; when every query term is
+# common (or the query has one term), pruning cannot skip and the
+# vectorized term-at-a-time scorer is ~10× faster per posting. Both
+# are exact, so the choice is pure cost-based. TAAT decodes at most
+# TAAT_CAP postings per (segment, query) — above that, posting lists
+# are long enough that WAND's skipping dominates even without a rare
+# term (θ rises fast when k ≪ df).
+TAAT_CAP = 4_000_000
+TAAT_SELECTIVITY = 8  # TAAT unless some term is ≥8× rarer than the total
+
+
+def _decode_term_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Batch-decode ALL blocks of one (term, segment): one varint pass
+    per column for the whole list (the per-block decode_block call has
+    ~170µs fixed overhead; this is what makes full-list scoring cheap).
+    Blocks' first values are absolute doc ids → cumsum with per-block
+    rebase."""
+    from ..functions.codec import varint_decode
+
+    counts = pdf["n"].to_numpy().astype(np.int64)
+    gaps = varint_decode(b"".join(pdf["doc_gaps"])).astype(np.int64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    c = np.cumsum(gaps)
+    base = c[starts] - gaps[starts]
+    docs = c - np.repeat(base, counts)
+    tfs = varint_decode(b"".join(pdf["tfs"])).astype(np.int64)
+    dls = varint_decode(b"".join(pdf["dls"])).astype(np.int64)
+    return docs, tfs, dls
+
+
+def _taat_topk(term_pdfs: list[tuple[pd.DataFrame, float]], avgdl: float, k: int,
+               k1: float, b: float, dead: "np.ndarray | None") -> list[tuple[int, float]]:
+    """Exact vectorized term-at-a-time top-k over one segment:
+    decode → per-posting scores → sort-merge accumulate by doc →
+    lexsort top-k. No per-doc Python."""
+    from ..functions.codec import tf_norm
+
+    doc_parts, score_parts = [], []
+    for pdf, idf in term_pdfs:
+        d, tf, dl = _decode_term_all(pdf)
+        doc_parts.append(d)
+        score_parts.append(idf * tf_norm(tf, dl, avgdl, k1, b))
+    docs = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    order = np.argsort(docs, kind="stable")
+    docs, scores = docs[order], scores[order]
+    starts = np.flatnonzero(np.concatenate(([True], docs[1:] != docs[:-1])))
+    uniq = docs[starts]
+    tot = np.add.reduceat(scores, starts)
+    if dead is not None and len(dead):
+        pos = np.searchsorted(dead, uniq)
+        hit = (pos < len(dead)) & (dead[np.minimum(pos, len(dead) - 1)] == uniq)
+        uniq, tot = uniq[~hit], tot[~hit]
+    r = np.round(tot, 4)
+    idx = np.lexsort((uniq, -r))[:k]
+    return list(zip(uniq[idx].tolist(), r[idx].tolist()))
+
+
+def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
+                 idf_map: dict[str, float], avgdl: float, k: int,
+                 k1: float, b: float, bound_factor: float = 1.0,
+                 dead: "np.ndarray | None" = None) -> list[tuple[int, float]]:
+    """One (segment, query) top-k with the cost-based TAAT/WAND choice.
+    Shared by the distributed UDF and the serving reader so both
+    surfaces rank identically by construction."""
+    present = [t for t in terms if t in by_term and idf_map.get(t, 0.0) > 0.0]
+    if not present:
+        return []
+    counts = [int(by_term[t]["n"].sum()) for t in present]
+    total = sum(counts)
+    if len(present) == 1 or (total <= TAAT_CAP and min(counts) * TAAT_SELECTIVITY >= total):
+        return _taat_topk([(by_term[t], idf_map[t]) for t in present],
+                          avgdl, k, k1, b, dead)
+    cursors = [
+        _Cursor(by_term[t], idf_map[t], avgdl, k1, b, bound_factor=bound_factor)
+        for t in present
+    ]
+    return block_max_wand(cursors, k, dead)
+
+
 def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
               avgdl: float, k: int, k1: float, b: float,
               bound_factors: dict[int, float] | None = None,
@@ -233,14 +315,8 @@ def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
         by_term = {t: g for t, g in pdf.groupby("term")}
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
-            cursors = [
-                _Cursor(by_term[t], idf_map[t], avgdl, k1, b, bound_factor=bf)
-                for t in terms
-                if t in by_term and idf_map.get(t, 0.0) > 0.0
-            ]
-            if not cursors:
-                continue
-            for doc, score in block_max_wand(cursors, k, dead):
+            for doc, score in segment_topk(by_term, terms, idf_map, avgdl, k,
+                                           k1, b, bf, dead):
                 out_q.append(qid)
                 out_d.append(doc)
                 out_s.append(score)
@@ -304,8 +380,48 @@ def refresh_meta(index_dir: str | None = None) -> None:
     """Drop cached index metadata (after a build/extend/merge)."""
     if index_dir is None:
         _META_CACHE.clear()
+        _DF_CACHE.clear()
     else:
         _META_CACHE.pop(_cache_key(IndexPaths(index_dir).root), None)
+        _DF_CACHE.pop(_cache_key(IndexPaths(index_dir).root), None)
+
+
+# Per-process lazy df cache: index → {term: global df}. Bounded by the
+# query workload's vocabulary, not the index's (the reader never
+# materializes the full vocab) — the serving-path discipline of
+# serve.IndexReader applied to the distributed engine's driver.
+_DF_CACHE: dict[str, dict[str, int]] = {}
+
+
+def _term_dfs(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict[str, int]:
+    """Global df per query term. Driver-side pyarrow row-group-pruned
+    read of the (tiny, term-sorted) terms directory — no Spark job on
+    the query path; falls back to a Spark agg when the driver has no
+    direct reader for the storage scheme."""
+    cache = _DF_CACHE.setdefault(_cache_key(paths.root), {})
+    missing = sorted({t for t in terms if t not in cache})
+    if missing:
+        try:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(paths.terms, format="parquet", partitioning="hive").to_table(
+                filter=ds.field("term").isin(missing), columns=["term", "df"]
+            )
+            agg = tbl.to_pandas().groupby("term")["df"].sum()
+            for t in missing:
+                cache[t] = int(agg.get(t, 0))
+        except Exception:
+            rows = (
+                spark.read.parquet(paths.terms)
+                .filter(F.col("term").isin(missing))
+                .groupBy("term")
+                .agg(F.sum("df").alias("df"))
+                .collect()
+            )
+            found = {r.term: int(r.df) for r in rows}
+            for t in missing:
+                cache[t] = found.get(t, 0)
+    return {t: cache[t] for t in terms}
 
 
 def wand_topk(
@@ -328,16 +444,10 @@ def wand_topk(
     if not all_terms:
         return spark.createDataFrame([], "query_id int, doc_id long, score double, rank int")
 
-    # global df per query term (tiny agg over the terms directory;
-    # pruned to the query terms by pushdown + row-group stats)
-    tmeta = (
-        spark.read.parquet(paths.terms)
-        .filter(F.col("term").isin(all_terms))
-        .groupBy("term")
-        .agg(F.sum("df").alias("df"))
-        .collect()
-    )
-    idf_map = {r.term: idf_fn(n_docs, int(r.df)) for r in tmeta}
+    # global df per query term (driver-side pruned read, memoized —
+    # keeps the terms-directory Spark job off the per-query path)
+    dfs = _term_dfs(spark, paths, all_terms)
+    idf_map = {t: idf_fn(n_docs, d) for t, d in dfs.items() if d > 0}
 
     # project to exactly the columns the cursors read BEFORE the
     # groupBy exchange — on a positional index this keeps the (largest)

@@ -1,0 +1,253 @@
+"""Low-latency query serving over the parquet index (the reference's
+primary consumer surface: an agent loop hitting `search_files` with
+sub-second answers — src/mcp-server.ts:338-441, latency table
+README.md:82-85).
+
+Architecture: Spark is the BUILD/ANALYTICS plane; serving replicas run
+this module — a long-lived `IndexReader` that reads the exact parquet
+artifacts the Spark jobs commit, via pyarrow row-group-pruned reads,
+and executes the SAME Block-Max WAND kernel (`operators/wand.py`
+`_Cursor` + `block_max_wand`) the distributed path uses. No Spark job
+— and no JVM — is on the per-query path, so latency is decode-bound
+(milliseconds), not job-scheduling-bound.
+
+Scale notes (what changes at 10^12 docs, nothing structural):
+  * index metadata (collection stats, bound factors, tombstones) loads
+    once per refresh — the in-proc memo the reference keeps as an LRU
+    over loaded indexes (src/cache.ts:10-47).
+  * per-term df comes from the terms directory with a lazy per-term
+    cache — the reader never materializes the vocabulary.
+  * posting blocks load per (term) via parquet row-group pruning (the
+    build sorts each segment by term) and stay in a hot-term LRU —
+    repeated/zipfian query terms hit memory, cold terms cost one
+    columnar read. Replicas shard by index or by segment range when
+    one box can't hold the hot set.
+  * results are (doc_id, score) — identical, by test, to wand_topk.
+
+`serve_loop` is the service harness: JSON-lines in, JSON-lines out —
+the same contract an MCP/HTTP adapter would wrap.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections import OrderedDict
+
+import numpy as np
+
+from .functions.bm25 import B, K1, idf as idf_fn
+from .functions.tokenize import tokenize_query
+from .sources.catalog import IndexPaths
+
+_POSTING_COLS = ["term", "first_doc", "last_doc", "block_max", "n",
+                 "doc_gaps", "tfs", "dls"]
+
+
+class IndexReader:
+    """Long-lived single-index reader: metadata memo + hot-term block
+    LRU + per-term df cache. Thread-compatible for a single-writer
+    refresh discipline (refresh() between mutations, queries between)."""
+
+    def __init__(self, index_dir: str, k1: float = K1, b: float = B,
+                 max_hot_terms: int = 4096):
+        self.paths = IndexPaths(index_dir)
+        self.k1, self.b = k1, b
+        self.max_hot_terms = max_hot_terms
+        self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
+        self._df_cache: dict[str, int] = {}
+        self.refresh()
+
+    # ---------------------------------------------------------- metadata
+    def refresh(self) -> None:
+        """Reload index metadata and drop caches — call after a
+        build/extend/merge/delete touched this index."""
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        cs = pq.read_table(self.paths.collection_stats).to_pydict()
+        self.n_docs, self.avgdl = int(cs["n_docs"][0]), float(cs["avgdl"][0])
+
+        # per-segment WAND bound inflation under avgdl drift (same rule
+        # as operators/wand.py _index_meta)
+        self.bound_factors: dict[int, float] = {}
+        man = self._read_optional(self.paths.manifest, ["segment_id", "build_avgdl"])
+        if man is not None:
+            pdf = man.to_pandas().dropna(subset=["build_avgdl"])
+            if len(pdf):
+                mins = pdf.groupby("segment_id")["build_avgdl"].min()
+                self.bound_factors = {
+                    int(s): max(1.0, self.avgdl / float(v)) for s, v in mins.items()
+                }
+
+        self.dead: np.ndarray | None = None
+        t = self._read_optional(self.paths.tombstones, ["doc_id"])
+        if t is not None and t.num_rows:
+            self.dead = np.unique(t.column("doc_id").to_numpy())
+
+        self._postings = ds.dataset(self.paths.postings, format="parquet",
+                                    partitioning="hive")
+        self._terms = ds.dataset(self.paths.terms, format="parquet",
+                                 partitioning="hive")
+        self._docs = ds.dataset(self.paths.docs, format="parquet",
+                                partitioning="hive")
+        self._blocks_lru.clear()
+        self._df_cache.clear()
+
+    @staticmethod
+    def _read_optional(path: str, columns: list[str]):
+        import pyarrow.dataset as ds
+
+        try:
+            d = ds.dataset(path, format="parquet")
+        except FileNotFoundError:
+            return None
+        return d.to_table(columns=columns)
+
+    # ---------------------------------------------------------- lookups
+    def df(self, terms: list[str]) -> dict[str, int]:
+        """Global document frequency per term (lazy, cached)."""
+        import pyarrow.dataset as ds
+
+        missing = sorted({t for t in terms if t not in self._df_cache})
+        if missing:
+            tbl = self._terms.to_table(
+                filter=ds.field("term").isin(missing), columns=["term", "df"]
+            )
+            agg = tbl.to_pandas().groupby("term")["df"].sum()
+            for t in missing:
+                self._df_cache[t] = int(agg.get(t, 0))
+        return {t: self._df_cache[t] for t in terms}
+
+    def _blocks(self, terms: list[str]) -> dict[str, "object"]:
+        """term → pandas blocks frame (with segment_id), LRU-cached."""
+        import pyarrow.dataset as ds
+
+        out = {}
+        missing = []
+        for t in terms:
+            hit = self._blocks_lru.get(t)
+            if hit is not None:
+                self._blocks_lru.move_to_end(t)
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            tbl = self._postings.to_table(
+                filter=ds.field("term").isin(missing),
+                columns=_POSTING_COLS + ["segment_id"],
+            )
+            pdf = tbl.to_pandas()
+            found = set()
+            for t, g in pdf.groupby("term"):
+                g = g.reset_index(drop=True)
+                self._blocks_lru[t] = g
+                out[t] = g
+                found.add(t)
+            for t in missing:
+                if t not in found:
+                    self._blocks_lru[t] = pdf.iloc[0:0]
+                    out[t] = self._blocks_lru[t]
+            while len(self._blocks_lru) > self.max_hot_terms:
+                self._blocks_lru.popitem(last=False)
+        return out
+
+    def urls(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id → url via row-group-pruned docs reads (docs are
+        sorted by doc_id within each segment partition)."""
+        import pyarrow.dataset as ds
+
+        if not doc_ids:
+            return {}
+        tbl = self._docs.to_table(
+            filter=ds.field("doc_id").isin(sorted(doc_ids)), columns=["doc_id", "url"]
+        )
+        d = tbl.to_pydict()
+        return dict(zip(d["doc_id"], d["url"]))
+
+    # ---------------------------------------------------------- queries
+    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        """[(doc_id, score)] — value-identical to wand_topk (same
+        per-segment kernel — segment_topk's cost-based TAAT/WAND choice
+        — same rounding, same tie-break)."""
+        from .operators.wand import segment_topk
+
+        terms = tokenize_query(query)
+        dfs = self.df(terms)
+        idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
+        if not idf_map:
+            return []
+        blocks = self._blocks(sorted(idf_map))
+        per_seg: dict[int, dict[str, object]] = {}
+        for t, pdf in blocks.items():
+            if not len(pdf):
+                continue
+            for seg, g in pdf.groupby("segment_id"):
+                per_seg.setdefault(int(seg), {})[t] = g
+        hits: list[tuple[int, float]] = []
+        qterms = sorted(idf_map)
+        for seg, by_term in per_seg.items():
+            hits.extend(
+                segment_topk(by_term, qterms, idf_map, self.avgdl, k,
+                             self.k1, self.b,
+                             bound_factor=self.bound_factors.get(seg, 1.0),
+                             dead=self.dead)
+            )
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+    def search(self, query: str, k: int = 10, with_urls: bool = False) -> list[dict]:
+        hits = self.topk(query, k)
+        url_map = self.urls([d for d, _ in hits]) if with_urls else {}
+        return [
+            {"rank": i + 1, "doc_id": d, "score": s,
+             **({"url": url_map.get(d)} if with_urls else {})}
+            for i, (d, s) in enumerate(hits)
+        ]
+
+
+def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float = B) -> int:
+    """JSON-lines serving loop (the `serve` CLI subcommand).
+
+    Request per line:
+      {"q": "spark join", "k": 10, "urls": true}   → search
+      {"op": "refresh"}                            → reload metadata
+      {"op": "ping"}                               → liveness
+      {"op": "quit"}                               → exit
+    Response per line: {"results": [...], "ms": 1.8} (or {"ok": true},
+    or {"error": "..."} — the loop never dies on a bad request).
+    Returns the number of queries served.
+    """
+    import sys
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    reader = IndexReader(index_dir, k1=k1, b=b)
+    served = 0
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+            if req.get("op") == "quit":
+                break
+            if req.get("op") == "refresh":
+                reader.refresh()
+                print(json.dumps({"ok": True}), file=stdout, flush=True)
+                continue
+            if req.get("op") == "ping":
+                print(json.dumps({"ok": True, "n_docs": reader.n_docs}), file=stdout, flush=True)
+                continue
+            t0 = time.time()
+            results = reader.search(req["q"], k=int(req.get("k", 10)),
+                                    with_urls=bool(req.get("urls", False)))
+            served += 1
+            print(
+                json.dumps({"results": results, "ms": round((time.time() - t0) * 1e3, 2)}),
+                file=stdout, flush=True,
+            )
+        except Exception as exc:  # serve loops answer errors, not crash
+            print(json.dumps({"error": f"{type(exc).__name__}: {exc}"}),
+                  file=stdout, flush=True)
+    return served

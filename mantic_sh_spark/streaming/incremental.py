@@ -101,6 +101,70 @@ def extend_index(
     return segs
 
 
+def upsert_pages(
+    spark: SparkSession,
+    index_dir: str,
+    pages: DataFrame,
+    n_new_segments: int = 4,
+) -> dict:
+    """One-shot incremental update for a page batch that may contain
+    NEW urls, MODIFIED urls (same url, new content), and unchanged
+    urls — the reference's {added, modified} incremental pass
+    (src/cache.ts:191-219; staleness decided by fingerprint diff,
+    src/cache.ts:147-186).
+
+      * unchanged (url present, same md5(text)): skipped entirely
+      * modified: old doc ids tombstoned (distributed, never collected
+        to the driver), new content folded in as fresh segments
+      * added: folded in as fresh segments
+
+    Deletes-by-absence are NOT inferred (a batch is a delta, not a
+    snapshot) — use delete_docs for removals. A later
+    merge_segments(purge=True) makes the tombstones physical; queries
+    are correct immediately (live-docs check at heap push).
+
+    Returns {"added": n, "modified": n, "unchanged": n, "segments": [..]}.
+    """
+    paths = IndexPaths(index_dir)
+    from ..operators.delete import live_docs
+
+    # live view only: a url modified in an EARLIER upsert still has its
+    # tombstoned old row in the docs table until purge — joining against
+    # it would fan the diff out and re-add the page
+    existing = live_docs(spark.read.parquet(paths.docs), spark, paths).select(
+        "url", "doc_id", F.md5("text").alias("old_fp")
+    )
+    diff = (
+        pages.withColumn("new_fp", F.md5("text"))
+        .join(existing, "url", "left")
+        .withColumn(
+            "status",
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("modified"))
+            .otherwise(F.lit("unchanged")),
+        )
+    )
+    counts = {r.status: r.n for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    out = {
+        "added": int(counts.get("added", 0)),
+        "modified": int(counts.get("modified", 0)),
+        "unchanged": int(counts.get("unchanged", 0)),
+        "segments": [],
+    }
+    if not (out["added"] or out["modified"]):
+        return out
+
+    from ..operators.delete import delete_docs_df
+
+    if out["modified"]:
+        delete_docs_df(
+            spark, index_dir, diff.filter(F.col("status") == "modified").select("doc_id")
+        )
+    delta = diff.filter(F.col("status") != "unchanged").select(*pages.columns)
+    out["segments"] = extend_index(spark, index_dir, delta, n_new_segments=n_new_segments)
+    return out
+
+
 def stream_index(
     spark: SparkSession,
     pages_glob: str,

@@ -96,3 +96,65 @@ def test_purge_matches_fresh_build(spark, tmp_path):
         return out
 
     assert by_url(idx) == by_url(fresh_dir)
+
+
+def test_purge_with_100k_tombstones(spark, tmp_path):
+    """Scale guard for the purge path: 100k+ tombstones must purge via
+    anti-joins (no 100k-element IN expression, no driver id list in any
+    plan) and still be query-identical to a fresh build. Synthetic
+    tombstones target unoccupied id space inside the source segments'
+    ranges — exercising volume without a 100k-doc corpus."""
+    import pandas as pd
+
+    from mantic_sh_spark.operators.docs import SEG_STRIDE
+
+    cfg = SynthConfig(n_docs=400, vocab_size=250, seed=83)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=64, block_size=16)
+
+    docs_tbl = spark.read.parquet(f"{idx}/docs")
+    victims = [r.doc_id for r in docs_tbl.select("doc_id").orderBy("doc_id").limit(40).collect()]
+    victim_urls = {r.url for r in docs_tbl.filter(F.col("doc_id").isin(victims)).collect()}
+    delete_docs(spark, idx, doc_ids=victims)
+    # 120k synthetic tombstones in the sources' id ranges, above any
+    # real doc id (segments own [seg*STRIDE, ...); real count ≤ 400)
+    synth = [int(seg * SEG_STRIDE + 10**6 + i) for seg in (0, 1) for i in range(60_000)]
+    from mantic_sh_spark.operators.delete import delete_docs_df, tombstone_ids
+
+    delete_docs_df(
+        spark, idx,
+        spark.createDataFrame(pd.DataFrame({"doc_id": pd.array(synth, dtype="int64")})),
+    )
+    assert len(tombstone_ids(spark, IndexPaths(idx))) == 120_000 + 40
+
+    merge_segments(spark, idx, [0, 1], dst_segment=7, compact=True, purge=True)
+    assert len(tombstone_ids(spark, IndexPaths(idx))) == 0
+
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, pages.filter(~F.col("url").isin(list(victim_urls))), fresh, n_segments=2)
+    queries = gen_queries(cfg, n_queries=10)
+
+    def by_url(index_dir):
+        res = wand_topk(spark, index_dir, queries, k=5)
+        d = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        rows = res.join(d, "doc_id").orderBy("query_id", "rank").collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.url, r.score))
+        return out
+
+    def normalize(res):
+        # tie groups may reorder across differently-id'd builds; the
+        # k-boundary group may swap members (see test_incremental)
+        out = {}
+        for qid, items in res.items():
+            scores = [s for _, s in items]
+            groups = {}
+            for u, s in items:
+                groups.setdefault(s, set()).add(u)
+            boundary = scores[-1]
+            out[qid] = (scores, {s: (us if s != boundary else len(us)) for s, us in groups.items()})
+        return out
+
+    assert normalize(by_url(idx)) == normalize(by_url(fresh))

@@ -111,3 +111,77 @@ def test_extend_positional_index_keeps_positions(spark, tmp_path):
         for r in spark.read.parquet(f"{idx}/docs").filter(F.col("segment_id").isin(segs)).select("doc_id").collect()
     }
     assert {d for d, _ in oracle} & new_doc_ids, "oracle must cover new-segment docs"
+
+
+def test_upsert_matches_fresh_build(spark, tmp_path):
+    """upsert_pages on a batch of {modified, added, unchanged} pages,
+    followed by a purge-merge, must be query-identical to a fresh
+    build over the updated corpus (the cache.ts:191-219 analog; same
+    bar as the purge test)."""
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.streaming.incremental import upsert_pages
+
+    cfg = SynthConfig(n_docs=240, vocab_size=220, seed=61)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=48, block_size=16)
+
+    # modified: 40 urls get new content; added: 30 new urls; plus 50 unchanged
+    mod_urls = [r.url for r in pages.select("url").orderBy("url").limit(40).collect()]
+    modified = pages.filter(F.col("url").isin(mod_urls)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzmodified zzmodified"))
+    )
+    added = gen_pages(spark, replace(cfg, seed=62, n_docs=30, needle_every=0), partitions=2
+                      ).withColumn("url", F.regexp_replace("url", "example/", "example/v2/"))
+    unchanged = pages.filter(~F.col("url").isin(mod_urls)).limit(50)
+    batch = modified.unionByName(added).unionByName(unchanged)
+
+    res = upsert_pages(spark, idx, batch, n_new_segments=2)
+    assert res["modified"] == 40 and res["added"] == 30 and res["unchanged"] == 50
+    assert len(res["segments"]) == 2
+
+    # re-upserting the same batch is a no-op (idempotent delta)
+    res2 = upsert_pages(spark, idx, batch, n_new_segments=2)
+    assert res2 == {"added": 0, "modified": 0, "unchanged": 120, "segments": []}
+
+    # make the tombstones physical, then compare against a fresh build
+    all_segs = sorted(
+        r.segment_id
+        for r in spark.read.parquet(f"{idx}/docs").select("segment_id").distinct().collect()
+    )
+    merge_segments(spark, idx, all_segs, dst_segment=max(all_segs) + 1, compact=True, purge=True)
+
+    updated_corpus = pages.filter(~F.col("url").isin(mod_urls)).unionByName(modified).unionByName(added)
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, updated_corpus, fresh, n_segments=2)
+
+    queries = gen_queries(cfg, n_queries=12) + [(100, "zzmodified")]
+
+    def by_url(index_dir):
+        res = wand_topk(spark, index_dir, queries, k=6)
+        d = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        rows = res.join(d, "doc_id").orderBy("query_id", "rank").collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.url, r.score))
+        return out
+
+    def normalize(res):
+        """Tie-group-aware form: internal doc ids (the tie-break) differ
+        between an upserted index and a fresh build, so equal-score docs
+        may legally reorder; the k-boundary tie group may legally swap
+        members. Compare score sequences + url sets per interior score."""
+        out = {}
+        for qid, items in res.items():
+            scores = [s for _, s in items]
+            groups = {}
+            for u, s in items:
+                groups.setdefault(s, set()).add(u)
+            boundary = scores[-1]
+            out[qid] = (
+                scores,
+                {s: (us if s != boundary else len(us)) for s, us in groups.items()},
+            )
+        return out
+
+    assert normalize(by_url(idx)) == normalize(by_url(fresh))

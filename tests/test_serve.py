@@ -1,0 +1,88 @@
+"""Serving path (serve.IndexReader + serve_loop): must be value-
+identical to the distributed WAND engine, hot-cache correctly, and
+pick up index mutations on refresh."""
+
+import io
+import json
+
+from mantic_sh_spark.operators.wand import wand_topk
+from mantic_sh_spark.serve import IndexReader, serve_loop
+from mantic_sh_spark.sources.synth import SynthConfig, gen_queries
+
+
+def _spark_results(spark, idx, queries, k):
+    out = {}
+    for qid, q in queries:
+        rows = wand_topk(spark, idx, [(0, q)], k=k).collect()
+        out[q] = [(r.doc_id, round(r.score, 4)) for r in sorted(rows, key=lambda r: r.rank)]
+    return out
+
+
+def test_reader_matches_wand(spark, small_corpus):
+    idx = small_corpus["index_dir"]
+    queries = gen_queries(small_corpus["cfg"], n_queries=12)
+    expected = _spark_results(spark, idx, queries, k=8)
+
+    reader = IndexReader(idx)
+    for _, q in queries:
+        got = [(d, round(s, 4)) for d, s in reader.topk(q, k=8)]
+        assert got == expected[q], q
+    # absent term → empty, no error
+    assert reader.topk("qqabsentterm", k=5) == []
+    # hot-term LRU populated after the query sweep
+    assert len(reader._blocks_lru) > 0
+
+
+def test_reader_urls_and_search(spark, small_corpus):
+    reader = IndexReader(small_corpus["index_dir"])
+    res = reader.search("w1x w2x", k=5, with_urls=True)
+    assert len(res) == 5
+    assert res[0]["rank"] == 1 and res[0]["url"].startswith("https://")
+    assert [r["score"] for r in res] == sorted((r["score"] for r in res), reverse=True)
+
+
+def test_serve_loop_end_to_end(spark, small_corpus):
+    idx = small_corpus["index_dir"]
+    reqs = "\n".join([
+        json.dumps({"op": "ping"}),
+        json.dumps({"q": "w1x w5x", "k": 3, "urls": True}),
+        json.dumps({"q": "qqabsentterm"}),
+        "not json at all",
+        json.dumps({"op": "refresh"}),
+        json.dumps({"q": "w1x w5x", "k": 3}),
+        json.dumps({"op": "quit"}),
+    ])
+    out = io.StringIO()
+    served = serve_loop(idx, stdin=io.StringIO(reqs), stdout=out)
+    lines = [json.loads(line) for line in out.getvalue().splitlines()]
+    assert served == 3
+    assert lines[0]["ok"] and lines[0]["n_docs"] == 400
+    assert len(lines[1]["results"]) == 3 and lines[1]["results"][0]["url"]
+    assert lines[2]["results"] == []
+    assert "error" in lines[3]
+    assert lines[4]["ok"]
+    # same query, same docs/scores before and after refresh
+    assert [(r["doc_id"], r["score"]) for r in lines[5]["results"]] == [
+        (r["doc_id"], r["score"]) for r in lines[1]["results"]
+    ]
+
+
+def test_reader_refresh_sees_deletes(spark, small_corpus, tmp_path):
+    """Tombstone → refresh → the deleted doc disappears from serving
+    results (parity with the wand/phrase live-docs discipline)."""
+    import shutil
+
+    from mantic_sh_spark.operators.delete import delete_docs
+
+    idx = str(tmp_path / "idx_copy")
+    shutil.copytree(small_corpus["index_dir"], idx)
+    reader = IndexReader(idx)
+    before = reader.topk("w1x w3x", k=5)
+    victim = before[0][0]
+
+    delete_docs(spark, idx, doc_ids=[victim])
+    # stale until refresh (the reader is an immutable-snapshot view)
+    reader.refresh()
+    after = reader.topk("w1x w3x", k=5)
+    assert victim not in {d for d, _ in after}
+    assert {d for d, _ in before[1:]} <= {d for d, _ in after}
