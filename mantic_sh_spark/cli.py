@@ -77,8 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True, nargs="+", help="one or more query strings")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--engine", choices=["wand", "exhaustive", "phrase"], default="wand")
+    q.add_argument("--engine", choices=["wand", "exhaustive", "phrase", "bm25f"], default="wand")
     q.add_argument("--slop", type=int, default=0, help="proximity window for --engine phrase")
+    q.add_argument("--url-weight", type=float, default=2.5,
+                   help="url-field weight for --engine bm25f (body weight is 1.0)")
     q.add_argument("--format", choices=["json", "text"], default="json")
 
     st = sub.add_parser("stats", help="index build metrics")
@@ -167,13 +169,21 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from .functions.tokenize import tokens_col
             from .operators.delete import live_docs
-            from .operators.query import bm25_topk
+            from .operators.query import bm25_topk, bm25f_topk
             from .sources.catalog import IndexPaths
 
             docs = spark.read.parquet(f"{args.index}/docs").withColumn("tokens", tokens_col("text"))
             # tombstone parity with wand/phrase: score only live docs
             docs = live_docs(docs, spark, IndexPaths(args.index))
-            res = bm25_topk(spark, docs, queries, k=args.k)
+            if args.engine == "bm25f":
+                # opt-in field-weighted mode: url tokens boost (R4),
+                # off the rank-identity path by design
+                docs = docs.withColumn("url_tokens", tokens_col("url"))
+                res = bm25f_topk(spark, docs, queries,
+                                 fields=[("tokens", 1.0), ("url_tokens", args.url_weight)],
+                                 k=args.k)
+            else:
+                res = bm25_topk(spark, docs, queries, k=args.k)
         docs_tbl = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
         from pyspark.sql import functions as F
 

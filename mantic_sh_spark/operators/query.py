@@ -87,3 +87,66 @@ def bm25_topk(
     b: float = B,
 ) -> DataFrame:
     return rank_topk(bm25_scores(docs, query_terms_df(spark, queries), k1, b), k)
+
+
+def bm25f_scores(
+    docs: DataFrame,
+    qterms: DataFrame,
+    fields: list[tuple[str, float]],
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, doc_id, score): field-weighted BM25F — the opt-in
+    scoring mode for "exact title/url match should win" (reference:
+    filename/path structural boosts, src/brain-scorer.ts:226-253,
+    364-388 — R4). Simple-BM25F form (Robertson & Zaragoza): weighted
+    term frequency wtf = Σ_f w_f · tf_f saturates through ONE k1/length
+    norm; df is over the union of fields; doc_len/avgdl stay the body
+    norm. With fields=[("tokens", 1.0)] this reduces exactly to BM25 —
+    the rank-identity path is untouched.
+
+    `fields` = [(token_column, weight), ...]; docs must carry each
+    token column plus body `doc_len`."""
+    parts = []
+    for col, w in fields:
+        parts.append(
+            docs.select("doc_id", "doc_len", F.explode(col).alias("term"))
+            .groupBy("term", "doc_id", "doc_len")
+            .agg((F.count(F.lit(1)) * F.lit(float(w))).alias("wtf"))
+        )
+    wtf = parts[0]
+    for p in parts[1:]:
+        wtf = wtf.unionByName(p)
+    wtf = wtf.groupBy("term", "doc_id", "doc_len").agg(F.sum("wtf").alias("wtf"))
+    matched = wtf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    df_per_term = matched.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+    scored = (
+        matched.join(F.broadcast(df_per_term), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        )
+        .withColumn(
+            "partial",
+            F.col("idf")
+            * F.col("wtf")
+            * F.lit(k1 + 1.0)
+            / (F.col("wtf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("avgdl"))),
+        )
+    )
+    return scored.groupBy("query_id", "doc_id").agg(F.sum("partial").alias("score"))
+
+
+def bm25f_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    return rank_topk(bm25f_scores(docs, query_terms_df(spark, queries), fields, k1, b), k)

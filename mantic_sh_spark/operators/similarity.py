@@ -87,13 +87,11 @@ def lsh_bucket_ids(emb: DataFrame, dim: int, n_planes: int = 12, seed: int = 42,
     return emb.select(id_col, vec_col).mapInPandas(assign, schema="vec_id long, bucket long")
 
 
-def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
-                    n_planes: int = 12, seed: int = 42, multiprobe: int = 1,
-                    exclude_id: int | None = None) -> DataFrame:
-    """Approximate top-k: rescore only vectors whose bucket matches the
-    query's bucket or differs in ≤ multiprobe sign bits."""
-    dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
+def _probe_buckets(query_vec: list[float], n_planes: int, seed: int,
+                   multiprobe: int) -> list[int]:
+    """Query-side bucket + ≤multiprobe-bit-flip neighbors (driver-side,
+    O(n_planes²) ints)."""
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
     qbits = (planes @ np.asarray(query_vec, dtype=np.float64)) > 0
     qbucket = int((qbits.astype(np.int64) << np.arange(n_planes, dtype=np.int64)).sum())
     probes = {qbucket}
@@ -104,10 +102,70 @@ def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
         for i in range(n_planes):
             for j in range(i + 1, n_planes):
                 probes.add(qbucket ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
 
-    buckets = lsh_bucket_ids(emb, dim, n_planes, seed)
-    cand = buckets.filter(F.col("bucket").isin(sorted(probes))).select("vec_id")
+
+def lsh_cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                    n_planes: int = 12, seed: int = 42, multiprobe: int = 1,
+                    exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k: rescore only vectors whose bucket matches the
+    query's bucket or differs in ≤ multiprobe sign bits. This ad-hoc
+    form recomputes bucket assignment over `emb` — use build_ann_index
+    + ann_index_topk for serving (bucket table materialized once,
+    probes are partition-pruned reads)."""
+    probes = _probe_buckets(query_vec, n_planes, seed, multiprobe)
+    buckets = lsh_bucket_ids(emb, len(query_vec), n_planes, seed)
+    cand = buckets.filter(F.col("bucket").isin(probes)).select("vec_id")
     scored = cosine_scores(emb.join(cand, "vec_id", "left_semi"), query_vec)
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    return _ranked_topk(scored, k)
+
+
+def build_ann_index(spark, emb: DataFrame, index_dir: str, n_planes: int = 12,
+                    seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    """Materialize the LSH bucket table ONCE, hive-partitioned by
+    bucket and carrying the vectors — each query then reads ONLY its
+    probe partitions (partition pruning, tests/test_plans.py) and
+    rescores in place. One corpus pass at build time; query cost is
+    O(probe-bucket rows), independent of corpus size."""
+    import pandas as pd
+
+    sample = emb.select(vec_col).first()
+    dim = len(sample[0])
+    buckets = lsh_bucket_ids(emb, dim, n_planes, seed, id_col, vec_col)
+    (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .join(buckets, "vec_id")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{index_dir}/buckets")
+    )
+    meta = pd.DataFrame({"dim": [dim], "n_planes": [n_planes], "seed": [seed]})
+    spark.createDataFrame(meta, "dim int, n_planes int, seed int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/ann_meta")
+    return index_dir
+
+
+def ann_probe_candidates(spark, index_dir: str, query_vec: list[float],
+                         multiprobe: int = 1) -> DataFrame:
+    """Partition-pruned read of the probe buckets (exposed for plan
+    tests)."""
+    meta = spark.read.parquet(f"{index_dir}/ann_meta").collect()[0]
+    assert len(query_vec) == meta.dim, "query dim must match index dim"
+    probes = _probe_buckets(query_vec, meta.n_planes, meta.seed, multiprobe)
+    return spark.read.parquet(f"{index_dir}/buckets").filter(F.col("bucket").isin(probes))
+
+
+def ann_index_topk(spark, index_dir: str, query_vec: list[float], k: int = 10,
+                   multiprobe: int = 1, exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k against a materialized ANN index: probe-bucket
+    partitions only — the corpus is never rescanned."""
+    cand = ann_probe_candidates(spark, index_dir, query_vec, multiprobe)
+    scored = cosine_scores(cand, query_vec)
     if exclude_id is not None:
         scored = scored.filter(F.col("vec_id") != exclude_id)
     return _ranked_topk(scored, k)

@@ -149,6 +149,45 @@ def q_bm25_multi(spark, sf_dir):
 SQL_BM25_MULTI = _bm25_sql(MULTI_QUERIES)
 
 
+def q_bm25f_topk(spark, sf_dir):
+    """R4 (structural-field boost, BM25F): opt-in field-weighted
+    scoring — the leading tokens act as the title field (weight 2.5)
+    against the body (weight 1.0), the webtext analog of the
+    reference's filename/path boosts (src/brain-scorer.ts:226-253)."""
+    from ..operators.query import bm25f_topk
+
+    d = _docs_tok(spark, sf_dir).withColumn("title_tokens", F.slice("tokens", 1, 8))
+    res = bm25f_topk(spark, d, [(0, BM25_QUERY)],
+                     fields=[("tokens", 1.0), ("title_tokens", 2.5)], k=10)
+    return res.select("doc_id", "score")
+
+
+SQL_BM25F_TOPK = f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+ttl AS (SELECT doc_id, unnest(({TOK})[1:8]) AS term FROM documents),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+wtf AS (
+  SELECT term, doc_id, sum(w) AS wtf FROM (
+    SELECT term, doc_id, 1.0 AS w FROM tok
+    UNION ALL
+    SELECT term, doc_id, 2.5 AS w FROM ttl) GROUP BY 1, 2),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (SELECT DISTINCT 0 AS query_id, unnest(list_filter(string_split_regex(lower('{BM25_QUERY}'), '[^a-z0-9]+'), t -> t <> '')) AS term),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM wtf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+sc AS (
+  SELECT q.query_id, wtf.doc_id,
+         sum( ln((stats.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+            * wtf.wtf * (1.2 + 1.0) / (wtf.wtf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM wtf JOIN q USING(term) JOIN dft USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, round(score, 4) AS score,
+         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id ASC) AS rn
+  FROM sc)
+SELECT doc_id, score FROM ranked WHERE rn <= 10
+"""
+
+
 def q_wand_multi(spark, sf_dir):
     """THE index round-trip under the oracle gate: build the compressed
     posting-block index over the documents table (once per sf_dir),
@@ -217,6 +256,60 @@ def q_phrase_index_topk(spark, sf_dir):
         .join(F.broadcast(url_map), "engine_doc")
         .select("doc_id", "n_matches")
     )
+
+
+PHRASE_SLOP = 2
+
+
+def q_phrase_slop(spark, sf_dir):
+    """Proximity (sloppy) phrase under the oracle gate: positional-index
+    round trip with slop=2 — for each start position of the first term,
+    the greedy-min continuation must fit within `slop` extra tokens
+    (operators/phrase.py _match_count; reference: near-adjacency bonus
+    R5, src/brain-scorer.ts:332-360). Reuses the positional index built
+    by q_phrase_index_topk."""
+    import hashlib
+    import os
+
+    from ..operators.index_build import build_index
+    from ..operators.phrase import phrase_topk
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/mantic_entry_posidx_{tag}"
+    if not os.path.exists(f"{idx}/build_manifest"):
+        pages = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("url"), "text", "lang"
+        )
+        build_index(spark, pages, idx, n_segments=4, store_positions=True)
+    res = phrase_topk(spark, idx, [(0, " ".join(PHRASE))], k=100000, slop=PHRASE_SLOP)
+    url_map = spark.read.parquet(f"{idx}/docs").select(
+        F.col("doc_id").alias("engine_doc"), F.col("url").cast("long").alias("doc_id")
+    )
+    return (
+        res.withColumnRenamed("doc_id", "engine_doc")
+        .join(F.broadcast(url_map), "engine_doc")
+        .select("doc_id", "n_matches")
+    )
+
+
+# PHRASE is defined below (shared with the exact-phrase entries); the
+# SQL is a positions self-join with the greedy-min-continuation rule.
+def _sql_phrase_slop() -> str:
+    return f"""
+WITH pos AS (
+  SELECT doc_id, CAST(x['pos'] AS INTEGER) AS pos, x['token'] AS token FROM (
+    SELECT doc_id, unnest(list_transform(range(0, len({TOK})),
+           i -> {{'pos': i, 'token': ({TOK})[i + 1]}})) AS x
+    FROM documents)),
+a AS (SELECT doc_id, pos FROM pos WHERE token = '{PHRASE[0]}'),
+b AS (SELECT doc_id, pos FROM pos WHERE token = '{PHRASE[1]}'),
+nxt AS (
+  SELECT a.doc_id, a.pos, min(b.pos) AS np
+  FROM a JOIN b ON b.doc_id = a.doc_id AND b.pos > a.pos
+  GROUP BY 1, 2)
+SELECT doc_id, count(*)::BIGINT AS n_matches
+FROM nxt WHERE np - pos - 1 <= {PHRASE_SLOP} GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------- filters / windows / sets
@@ -895,6 +988,7 @@ REGISTRY: dict[str, tuple] = {
     "term_lookup": (q_term_lookup, SQL_TERM_LOOKUP),
     "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
     "bm25_multi": (q_bm25_multi, SQL_BM25_MULTI),
+    "bm25f_topk": (q_bm25f_topk, SQL_BM25F_TOPK),
     "wand_multi": (q_wand_multi, SQL_WAND_MULTI),
     "phrase_match": (q_phrase_match, SQL_PHRASE_MATCH),
     "topn_per_lang": (q_topn_per_lang, SQL_TOPN_PER_LANG),
@@ -928,6 +1022,7 @@ REGISTRY: dict[str, tuple] = {
     "blast_radius": (q_blast_radius, SQL_BLAST_RADIUS),
     "phrase_index_topk": (q_phrase_index_topk, SQL_PHRASE_INDEX_TOPK),
     "phrase_positions": (q_phrase_positions, SQL_PHRASE_POSITIONS),
+    "phrase_slop": (q_phrase_slop, _sql_phrase_slop()),
     "event_window_agg": (q_event_window_agg, SQL_EVENT_WINDOW_AGG),
     "regex_extract": (q_regex_extract, SQL_REGEX_EXTRACT),
     "confidence": (q_confidence, SQL_CONFIDENCE),

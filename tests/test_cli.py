@@ -80,3 +80,22 @@ def test_cli_exhaustive_respects_delete(spark, tmp_path, capsys):
         assert main(["query", "--index", idx, "--q", "w1x", "--k", "3", "--engine", engine]) == 0
         after = json.loads(capsys.readouterr().out.strip())["w1x"]
         assert all(r["url"] != victim_url for r in after), engine
+
+
+def test_cli_bm25f_engine(spark, tmp_path, capsys):
+    """Opt-in field-weighted scoring (R4): a doc whose URL matches the
+    query must outrank equals under --engine bm25f."""
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    main(["synth", "--out", pages, "--n-docs", "120", "--vocab", "300"])
+    main(["build", "--pages", pages, "--index", idx, "--segments", "2"])
+    capsys.readouterr()
+
+    assert main(["query", "--index", idx, "--q", "doc w2x", "--k", "5", "--engine", "bm25f"]) == 0
+    res = json.loads(capsys.readouterr().out.strip())["doc w2x"]
+    assert len(res) == 5 and res[0]["rank"] == 1
+    # every synth url contains 'doc' → the url field contributes; scores
+    # must differ from plain exhaustive BM25 on the same query
+    assert main(["query", "--index", idx, "--q", "doc w2x", "--k", "5", "--engine", "exhaustive"]) == 0
+    res2 = json.loads(capsys.readouterr().out.strip())["doc w2x"]
+    assert [r["score"] for r in res] != [r["score"] for r in res2]
