@@ -38,6 +38,11 @@ from typing import NamedTuple
 import numpy as np
 
 BLOCK_SIZE = 128
+# Doc-id stride per segment (segment = doc_id div SEG_STRIDE). Lives
+# here — the numpy-only module — so the encoder can derive segment/salt
+# from doc_id without the build shipping them as shuffle columns;
+# operators/docs.py imports it (single source of truth).
+SEG_STRIDE = 1 << 40
 
 # varint thresholds: value >= 2^(7k) needs more than k bytes
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
@@ -266,15 +271,18 @@ def encode_groups(
 # closure in fresh Python workers does not drag in pandas/pyspark.sql
 # imports — worker cold-start is a measurable serial cost per stage.
 def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
-                 with_positions: bool = False):
+                 with_positions: bool = False, chunk_size: int = 1 << 14):
     """Encode a sorted run of COMPLETE (term, segment, salt) groups of
     raw token rows into block rows — fully vectorized, zero pandas.
 
-    Input rows are one-per-token-occurrence (no pre-aggregated tf);
-    because the run is sorted by (term, segment, salt, doc_id),
-    occurrences of a term in one doc are adjacent and tf falls out of a
-    run-length pass — this is what lets the build do ONE shuffle
-    (map-side combine would need its own shuffle to be useful here).
+    Input rows are sorted by (term, doc_id) — segment and salt are
+    derived vectorized from doc_id (segment = id div SEG_STRIDE, salt =
+    rank-in-segment div chunk_size), so they never travel as shuffle
+    columns; the (term, doc_id) order IS the (term, segment, salt,
+    doc_id) order because both are monotone in doc_id. With a `tf`
+    column, rows are pre-aggregated postings (the doc-local combine
+    path); without it, rows are occurrences and tf falls out of a
+    run-length pass.
 
     Operating on Arrow directly matters: converting ~10^7 term strings
     per task to pandas objects is allocator-bound and anti-scales with
@@ -288,9 +296,9 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     term = tbl.column("term").combine_chunks()
     if isinstance(term, pa.ChunkedArray):
         term = term.chunk(0) if term.num_chunks == 1 else pa.concat_arrays(term.chunks)
-    seg = tbl.column("segment_id").to_numpy()
-    salt = tbl.column("salt").to_numpy()
     doc = tbl.column("doc_id").to_numpy()
+    seg = doc // SEG_STRIDE
+    salt = (doc % SEG_STRIDE) // chunk_size
     dl = tbl.column("doc_len").to_numpy()
 
     gchanged = np.empty(n, dtype=bool)
@@ -299,14 +307,23 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
         zero_copy_only=False
     )
     gchanged[1:] |= (seg[1:] != seg[:-1]) | (salt[1:] != salt[:-1])
-    # posting boundary: group change OR doc change (run-length tf)
-    pchanged = gchanged.copy()
-    pchanged[1:] |= doc[1:] != doc[:-1]
-    pstarts = np.flatnonzero(pchanged)
-    tf = np.diff(np.append(pstarts, n))
     grows = np.flatnonzero(gchanged)
-    # group starts re-expressed in posting index space
-    gstarts = np.searchsorted(pstarts, grows)
+    if "tf" in tbl.schema.names:
+        # pre-aggregated input: one row per (term, doc) posting with an
+        # explicit tf column (the doc-local combine path) — no
+        # run-length pass, posting index space == row index space
+        pstarts = np.arange(n, dtype=np.int64)
+        tf = tbl.column("tf").to_numpy().astype(np.int64)
+        gstarts = grows
+    else:
+        # occurrence input: posting boundary = group change OR doc
+        # change; tf falls out of the run lengths
+        pchanged = gchanged.copy()
+        pchanged[1:] |= doc[1:] != doc[:-1]
+        pstarts = np.flatnonzero(pchanged)
+        tf = np.diff(np.append(pstarts, n))
+        # group starts re-expressed in posting index space
+        gstarts = np.searchsorted(pstarts, grows)
     enc = encode_groups(gstarts, doc[pstarts], tf, dl[pstarts], avgdl, k1, b, block_size)
     gi = enc.pop("group_idx")
     bs_p = enc.pop("p_start")
@@ -524,12 +541,13 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
 
 
 def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
-                     with_positions: bool = False):
-    """mapInArrow encoder over a partition sorted by
-    (term, segment_id, salt, doc_id): Arrow batch boundaries can split
-    a group, so the trailing (possibly incomplete) group of each batch
-    is carried into the next. Carry size is bounded by CHUNK_SIZE
-    postings (the salt guarantees no group exceeds one doc-id chunk)."""
+                     with_positions: bool = False, chunk_size: int = 1 << 14):
+    """mapInArrow encoder over a partition sorted by (term, doc_id)
+    (== (term, segment, salt, doc_id) order — see encode_table): Arrow
+    batch boundaries can split a group, so the trailing (possibly
+    incomplete) group of each batch is carried into the next. Carry
+    size is bounded by chunk_size postings (the salt guarantees no
+    group exceeds one doc-id chunk)."""
 
     def run(batches):
         import numpy as np
@@ -549,14 +567,17 @@ def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_
             tail = pc.equal(tbl.column("term"), tbl.column("term")[n - 1]).to_numpy(
                 zero_copy_only=False
             )
-            seg = tbl.column("segment_id").to_numpy()
-            salt = tbl.column("salt").to_numpy()
+            doc = tbl.column("doc_id").to_numpy()
+            seg = doc // SEG_STRIDE
+            salt = (doc % SEG_STRIDE) // chunk_size
             tail &= (seg == seg[n - 1]) & (salt == salt[n - 1])
             cut = n - int(tail.sum())
             carry = tbl.slice(cut)
             if cut:
-                yield encode_table(tbl.slice(0, cut), avgdl, k1, b, block_size, with_positions)
+                yield encode_table(tbl.slice(0, cut), avgdl, k1, b, block_size,
+                                   with_positions, chunk_size)
         if carry is not None and carry.num_rows:
-            yield encode_table(carry.combine_chunks(), avgdl, k1, b, block_size, with_positions)
+            yield encode_table(carry.combine_chunks(), avgdl, k1, b, block_size,
+                               with_positions, chunk_size)
 
     return run

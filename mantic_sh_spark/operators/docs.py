@@ -29,8 +29,9 @@ from ..functions.tokenize import tokens_col
 
 # Each segment owns doc ids [seg * SEG_STRIDE, seg * SEG_STRIDE + count).
 # 2^40 capacity per segment supports ~10^12 docs per segment; with up
-# to 2^23 segments the id space stays inside int64.
-SEG_STRIDE = 1 << 40
+# to 2^23 segments the id space stays inside int64. Defined in
+# functions/codec.py (the encoder derives segment/salt from doc_id).
+from ..functions.codec import SEG_STRIDE  # noqa: E402
 # Salted range-chunk inside a segment: postings for one (term, chunk)
 # encode together; chunks concatenate in doc-id order with no re-sort.
 CHUNK_SIZE = 1 << 14
@@ -49,6 +50,12 @@ def build_docs(
     incremental builds allocate FRESH segment ids (and hence fresh,
     disjoint doc-id ranges) for newly arrived pages — the ST2 path.
     """
+    # html is never persisted in docs — drop it BEFORE the segment
+    # shuffle (it is the fattest column of the pages table; shipping it
+    # through the exchange just to drop it afterwards dominated the
+    # docs-stage shuffle volume)
+    if "html" in pages.columns:
+        pages = pages.drop("html")
     seg = (F.pmod(F.xxhash64("url"), F.lit(n_segments)) + F.lit(segment_offset)).cast("int")
     df = pages.withColumn("segment_id", seg)
     df = df.repartition(n_segments, "segment_id")

@@ -53,6 +53,46 @@ BLOCK_ROW_SCHEMA = (
 )
 BLOCK_ROW_SCHEMA_POS = BLOCK_ROW_SCHEMA + ", positions binary"
 
+
+def _term_tf_pairs(tokens: str | F.Column) -> F.Column:
+    """Doc-local (term, tf) aggregation as a pure Catalyst expression —
+    map-side combine WITHOUT a combine shuffle: sort the doc's token
+    array, find run starts, emit one struct per distinct term with the
+    run length as tf. Cuts the build's wide shuffle from one row per
+    occurrence to one row per posting (~1.5× fewer rows on web text)
+    while keeping the build at a SINGLE shuffle. F.get (0-based,
+    null-safe out of range) avoids ANSI element_at(0) errors."""
+    col = tokens if isinstance(tokens, F.Column) else F.col(tokens)
+
+    # Catalyst does NOT common-subexpression-eliminate across lambda
+    # bodies: naming array_sort(tokens) in a Python variable and
+    # referencing it inside filter/transform lambdas re-evaluates the
+    # sort PER LAMBDA INVOCATION (O(n² log n) per doc — measured as a
+    # build hang). Binding each intermediate as a LAMBDA VARIABLE via a
+    # one-element-array transform forces single evaluation.
+    def _with_sorted(s):
+        n = F.size(s)
+        idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.lit(None).cast("array<int>")
+        )
+        starts = F.filter(
+            idx, lambda i: (i == F.lit(1)) | ~F.get(s, i - 1).eqNullSafe(F.get(s, i - 2))
+        )
+
+        def _with_starts(st):
+            return F.transform(
+                st,
+                lambda x, j: F.struct(
+                    F.get(s, x - 1).alias("term"),
+                    (F.coalesce(F.get(st, j + 1), n + F.lit(1)) - x).cast("int").alias("tf"),
+                ),
+            )
+
+        return F.get(F.transform(F.array(starts), _with_starts), 0)
+
+    pairs = F.get(F.transform(F.array(F.array_sort(col)), _with_sorted), 0)
+    return F.coalesce(pairs, F.array().cast("array<struct<term:string,tf:int>>"))
+
 _TRACE = os.environ.get("MANTIC_TRACE_TIMING", "") not in ("", "0")
 
 
@@ -109,37 +149,56 @@ def build_postings_for_segments(
     b: float = B,
     block_size: int | None = None,
     store_positions: bool = False,
+    chunk_size: int | None = None,
 ) -> list[dict]:
     """Build + commit postings/terms for the given segments; return
     manifest metric rows (not yet appended). store_positions adds a
     varint-encoded within-doc position list per posting (phrase /
-    proximity queries — operators/phrase.py)."""
+    proximity queries — operators/phrase.py). chunk_size must match the
+    docs table's salt chunking (operators/docs.py) — segment and salt
+    are pure functions of doc_id, so the wide shuffle never ships them
+    as columns."""
+    from .docs import CHUNK_SIZE, SEG_STRIDE
+
+    chunk = int(chunk_size or CHUNK_SIZE)
     segs = sorted(set(int(s) for s in segments))
     if not segs:
         return []
     started = time.time()
     batch = docs.filter(F.col("segment_id").isin(segs))
     if store_positions:
+        # positional build ships occurrences (each position is payload)
         toks = batch.select(
-            "segment_id", "salt", "doc_id", "doc_len",
-            F.posexplode("tokens").alias("pos", "term"),
+            "doc_id", "doc_len", F.posexplode("tokens").alias("pos", "term")
         )
     else:
+        # non-positional build pre-aggregates tf doc-locally (pure
+        # Catalyst, no extra shuffle) and ships one row per POSTING
         toks = batch.select(
-            "segment_id", "salt", "doc_id", "doc_len", F.explode("tokens").alias("term")
+            "doc_id", "doc_len", F.explode(_term_tf_pairs("tokens")).alias("p")
+        ).select(
+            "doc_id", "doc_len",
+            F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
         )
     # THE salted repartition — the build's single wide shuffle: all rows
     # of a (term, segment, salt) group land in one partition, sorted so
-    # groups are contiguous runs (and a doc's occurrences of a term are
-    # adjacent ⇒ tf by run-length, no separate pre-agg shuffle). The
+    # groups are contiguous runs. segment/salt are DERIVED from doc_id
+    # (segment = id div 2^40, salt = rank-in-segment div chunk) both in
+    # the partitioning expression here and vectorized in the encoder —
+    # two fewer 8-byte slots per shuffled row — and sorting by
+    # (term, doc_id) yields exactly the (term, segment, salt, doc_id)
+    # order because segment and salt are monotone in doc_id. The
     # vectorized stream encoder amortizes cost over ~10^5 groups per
     # task instead of paying per-group pandas overhead.
-    sort_cols = ["term", "segment_id", "salt", "doc_id"] + (["pos"] if store_positions else [])
+    seg_col = F.expr(f"CAST(doc_id DIV {SEG_STRIDE} AS INT)")
+    salt_col = F.expr(f"CAST((doc_id % {SEG_STRIDE}) DIV {chunk} AS INT)")
+    sort_cols = ["term", "doc_id"] + (["pos"] if store_positions else [])
     blocks = (
-        toks.repartition("term", "segment_id", "salt")
+        toks.repartition(F.col("term"), seg_col, salt_col)
         .sortWithinPartitions(*sort_cols)
         .mapInArrow(
-            encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE, store_positions),
+            encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE,
+                             store_positions, chunk_size=chunk),
             schema=BLOCK_ROW_SCHEMA_POS if store_positions else BLOCK_ROW_SCHEMA,
         )
     )
@@ -318,7 +377,8 @@ def build_index(
         batches = batches[:max_batches]
     for seg_batch in batches:
         rows = build_postings_for_segments(
-            spark, docs, paths, seg_batch, avgdl, k1, b, block_size, store_positions
+            spark, docs, paths, seg_batch, avgdl, k1, b, block_size, store_positions,
+            chunk_size=chunk_size,
         )
         append_manifest(spark, paths, rows)
     from .wand import refresh_meta
