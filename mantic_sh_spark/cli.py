@@ -77,7 +77,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True, nargs="+", help="one or more query strings")
     q.add_argument("--k", type=int, default=10)
-    q.add_argument("--engine", choices=["wand", "exhaustive", "phrase", "bm25f"], default="wand")
+    q.add_argument("--engine", choices=["auto", "wand", "exhaustive", "phrase", "bm25f"],
+                   default="wand",
+                   help="auto = classify each query (quoted phrase / field: / "
+                        "fuzzy~ / terms) and route to the matching engine")
     q.add_argument("--slop", type=int, default=0, help="proximity window for --engine phrase")
     q.add_argument("--url-weight", type=float, default=2.5,
                    help="url-field weight for --engine bm25f (body weight is 1.0)")
@@ -150,6 +153,59 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args)
         n = delete_docs(spark, args.index, doc_ids=args.doc_ids, urls=args.urls)
         print(json.dumps({"tombstoned": n}))
+
+    elif args.cmd == "query" and args.engine == "auto":
+        # intent routing (reference: src/intent-analyzer.ts:50-116):
+        # each query is classified and served by the engine its syntax
+        # asks for; fuzzy~ terms expand against the term directory
+        from pyspark.sql import functions as F
+
+        from .functions.intent import expand_fuzzy_term, parse_query
+
+        spark = _spark(args)
+        docs_tbl = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
+        has_positions = "positions" in spark.read.parquet(f"{args.index}/postings").columns
+        out = {}
+        for q in args.q:
+            plan = parse_query(q)
+            engine = plan.engine
+            if engine == "phrase" and has_positions:
+                from .operators.phrase import phrase_topk
+
+                res = phrase_topk(spark, args.index, [(0, plan.phrase)], k=args.k,
+                                  slop=plan.slop).withColumn("score", F.col("n_matches").cast("double"))
+            elif engine == "bm25f":
+                from .functions.tokenize import tokens_col
+                from .operators.delete import live_docs
+                from .operators.query import bm25f_topk
+                from .sources.catalog import IndexPaths
+
+                docs = spark.read.parquet(f"{args.index}/docs").withColumn(
+                    "tokens", tokens_col("text")).withColumn("url_tokens", tokens_col("url"))
+                docs = live_docs(docs, spark, IndexPaths(args.index))
+                res = bm25f_topk(spark, docs, [(0, " ".join(plan.terms))],
+                                 fields=[("tokens", 1.0), ("url_tokens", args.url_weight)],
+                                 k=args.k)
+            else:
+                from .operators.wand import wand_topk
+
+                terms = list(plan.terms)
+                for ft in plan.fuzzy_terms:
+                    terms.extend(expand_fuzzy_term(args.index, ft))
+                engine = "wand"
+                res = wand_topk(spark, args.index, [(0, " ".join(terms))], k=args.k)
+            rows = res.join(F.broadcast(
+                docs_tbl.join(res.select("doc_id").distinct(), "doc_id", "left_semi")
+            ), "doc_id").orderBy("rank").collect()
+            out[q] = {
+                "engine": engine,
+                "intent": plan.kind,
+                "results": [
+                    {"rank": r.rank, "doc_id": r.doc_id, "url": r.url, "score": r.score}
+                    for r in rows
+                ],
+            }
+        print(json.dumps(out, indent=1))
 
     elif args.cmd == "query":
         spark = _spark(args)

@@ -1,0 +1,163 @@
+"""Query intent analysis + entity extraction (T6 / §2.3 of SURVEY.md).
+
+Reference analogs: the intent analyzer that classifies a query before
+routing it (src/intent-analyzer.ts:50-116) and the entity extractor
+that pulls typed tokens out of the query string
+(src/entity-extractor.ts:22-106). Re-expressed for webtext retrieval:
+
+  * syntax-level intent: quoted phrases (optionally with a `~N` slop
+    suffix), `field:term` prefixes, trailing-tilde fuzzy terms, plain
+    bag-of-words — mapped to the engine that serves each
+    (phrase_topk / bm25f_topk / WAND with expansion / WAND).
+  * typed entities: urls, emails, versions, numbers, identifiers —
+    regex classes over the raw query (driver-side; the corpus-side
+    equivalent is the `regex_extract` oracle entry).
+
+All driver-side pure Python: query strings are tiny; the expensive
+part of fuzzy expansion (candidate lookup) stays a row-group-pruned
+prefix read of the terms directory, never a vocabulary scan.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from .tokenize import tokenize_query
+
+_PHRASE_RE = re.compile(r'"([^"]+)"(?:~(\d+))?')
+_FIELD_RE = re.compile(r"\b(url|title|body|lang|site)\s*:\s*(\S+)")
+_FUZZY_RE = re.compile(r"(\w[\w-]*)~(?!\d)")
+
+ENTITY_PATTERNS: dict[str, re.Pattern] = {
+    # order matters: first match wins per span
+    "url": re.compile(r"https?://[^\s\"']+", re.I),
+    "email": re.compile(r"\b[\w.+-]+@[\w-]+\.[\w.-]+\b"),
+    "version": re.compile(r"\bv?\d+\.\d+(?:\.\d+)*(?:-[\w.]+)?\b"),
+    "number": re.compile(r"\b\d{2,}\b"),
+    "identifier": re.compile(r"\b[a-z]+(?:[A-Z][a-z0-9]+)+\b|\b\w+_\w+\b"),
+}
+
+
+@dataclass
+class QueryPlan:
+    """Parsed query: what to run and with which engine."""
+
+    kind: str  # 'phrase' | 'field' | 'fuzzy' | 'terms'
+    terms: list[str] = field(default_factory=list)
+    phrase: str | None = None
+    slop: int = 0
+    fields: dict[str, str] = field(default_factory=dict)
+    fuzzy_terms: list[str] = field(default_factory=list)
+    entities: dict[str, list[str]] = field(default_factory=dict)
+    raw: str = ""
+
+    @property
+    def engine(self) -> str:
+        """CLI engine this plan routes to (src/intent-analyzer.ts's
+        search-strategy switch)."""
+        if self.kind == "phrase":
+            return "phrase"
+        if self.kind == "field" and "url" in self.fields:
+            return "bm25f"
+        return "wand"
+
+
+def extract_entities(q: str) -> dict[str, list[str]]:
+    """Typed entities in the query, non-overlapping, first-class wins
+    (src/entity-extractor.ts:22-106)."""
+    taken: list[tuple[int, int]] = []
+    out: dict[str, list[str]] = {}
+    for kind, pat in ENTITY_PATTERNS.items():
+        for m in pat.finditer(q):
+            span = m.span()
+            if any(not (span[1] <= a or span[0] >= b) for a, b in taken):
+                continue
+            taken.append(span)
+            out.setdefault(kind, []).append(m.group(0))
+    return out
+
+
+def parse_query(q: str) -> QueryPlan:
+    """Classify a raw query string into an executable plan."""
+    entities = extract_entities(q)
+    rest = q
+
+    m = _PHRASE_RE.search(rest)
+    if m:
+        return QueryPlan(
+            kind="phrase",
+            phrase=m.group(1),
+            slop=int(m.group(2)) if m.group(2) else 0,
+            terms=tokenize_query(m.group(1)),
+            entities=entities,
+            raw=q,
+        )
+
+    fields: dict[str, str] = {}
+    def _take_field(m2: re.Match) -> str:
+        fields[m2.group(1).lower()] = m2.group(2)
+        return " "
+
+    rest = _FIELD_RE.sub(_take_field, rest)
+
+    fuzzy = _FUZZY_RE.findall(rest)
+    rest = _FUZZY_RE.sub(lambda m2: m2.group(1), rest)
+
+    terms = tokenize_query(rest + " " + " ".join(fields.values()))
+    if fuzzy:
+        kind = "fuzzy"
+    elif fields:
+        kind = "field"
+    else:
+        kind = "terms"
+    return QueryPlan(kind=kind, terms=terms, fields=fields,
+                     fuzzy_terms=[t.lower() for t in fuzzy],
+                     entities=entities, raw=q)
+
+
+def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
+                      limit: int = 3) -> list[str]:
+    """Closest index terms to a ~fuzzy query term by Levenshtein
+    distance (reference: closest-match top-N, T7/T8). Candidates come
+    from a PREFIX-PRUNED read of the term directory (terms are sorted
+    within each segment file, so the range filter prunes row groups) —
+    never a vocabulary scan. At web scale the same contract is served
+    by an FST/trie sidecar; the prefix discipline is identical."""
+    import pyarrow.dataset as ds
+
+    from ..sources.catalog import IndexPaths
+
+    if not term:
+        return []
+    prefix = term[0]
+    d = ds.dataset(IndexPaths(index_dir).terms, format="parquet", partitioning="hive")
+    tbl = d.to_table(
+        filter=(ds.field("term") >= prefix) & (ds.field("term") < prefix + "￿"),
+        columns=["term", "df"],
+    )
+    agg: dict[str, int] = {}
+    for t, n in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
+        if abs(len(t) - len(term)) <= max_dist:
+            agg[t] = agg.get(t, 0) + int(n)
+
+    def lev(a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > max_dist:
+            return max_dist + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            if min(cur) > max_dist:
+                return max_dist + 1
+            prev = cur
+        return prev[-1]
+
+    scored = []
+    for t, df_t in agg.items():
+        dist = 0 if t == term else lev(term, t)
+        if dist <= max_dist:
+            scored.append((dist, -df_t, t))
+    scored.sort()
+    return [t for _, _, t in scored[:limit]]

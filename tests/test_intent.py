@@ -1,0 +1,63 @@
+"""Query intent analysis + entity extraction (T6; reference
+src/intent-analyzer.ts / src/entity-extractor.ts analogs) and the
+CLI auto-routing built on them."""
+
+import json
+
+from mantic_sh_spark.functions.intent import expand_fuzzy_term, extract_entities, parse_query
+
+
+def test_parse_query_kinds():
+    p = parse_query('"spark join" extra words')
+    assert p.kind == "phrase" and p.phrase == "spark join" and p.slop == 0
+    assert p.engine == "phrase"
+
+    p = parse_query('"spark join"~3')
+    assert p.kind == "phrase" and p.slop == 3
+
+    p = parse_query("url:site11 router")
+    assert p.kind == "field" and p.fields == {"url": "site11"}
+    assert p.engine == "bm25f" and "router" in p.terms and "site11" in p.terms
+
+    p = parse_query("routr~ server")
+    assert p.kind == "fuzzy" and p.fuzzy_terms == ["routr"]
+    assert p.engine == "wand" and "server" in p.terms
+
+    p = parse_query("plain bag of words")
+    assert p.kind == "terms" and p.engine == "wand"
+    assert p.terms == ["plain", "bag", "of", "words"]
+
+
+def test_extract_entities():
+    ents = extract_entities(
+        "see https://site1.example/a?x=1 mail bob@x.io v2.3.1 build 12345 parseHtml snake_case"
+    )
+    assert ents["url"] == ["https://site1.example/a?x=1"]
+    assert ents["email"] == ["bob@x.io"]
+    assert "v2.3.1" in ents["version"]
+    assert "12345" in ents["number"]
+    assert "parseHtml" in ents["identifier"] and "snake_case" in ents["identifier"]
+    # url span is not re-reported as number/identifier (non-overlap rule)
+    assert all("site1" not in x for x in ents.get("identifier", []))
+
+
+def test_fuzzy_expansion_finds_close_terms(spark, small_corpus):
+    # vocab contains w1x..w599x — a 1-edit typo must resolve to real terms
+    got = expand_fuzzy_term(small_corpus["index_dir"], "w1y", max_dist=1, limit=3)
+    assert got and all(t.startswith("w1") for t in got)
+    # exact term ranks first when present
+    got2 = expand_fuzzy_term(small_corpus["index_dir"], "w12x", max_dist=2, limit=3)
+    assert got2[0] == "w12x"
+
+
+def test_cli_auto_routing(spark, small_corpus, capsys):
+    from mantic_sh_spark.cli import main
+
+    idx = small_corpus["index_dir"]
+    assert main(["query", "--index", idx, "--engine", "auto", "--k", "3",
+                 "--q", "w1x w5x", "w2x~ w3x"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["w1x w5x"]["intent"] == "terms" and out["w1x w5x"]["engine"] == "wand"
+    assert len(out["w1x w5x"]["results"]) == 3
+    assert out["w2x~ w3x"]["intent"] == "fuzzy"
+    assert len(out["w2x~ w3x"]["results"]) == 3
