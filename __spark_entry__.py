@@ -5,12 +5,13 @@ queries()      — one Spark callable per implemented operator
                  (SURVEY.md §2 inventory; see
                  mantic_sh_spark/plans/entry_queries.py).
 oracle_sql()   — DuckDB-equivalent ANSI SQL for each query (the
-                 correctness gate). All 45 queries() entries carry an
+                 correctness gate). All 46 queries() entries carry an
                  oracle — including the full index round-trips
                  wand_multi (compressed postings + Block-Max WAND),
                  phrase_index_topk (positional postings + exact-phrase
-                 top-k), phrase_slop (proximity match), and bm25f_topk
-                 (field-weighted scoring). Internals with no SQL form
+                 top-k), phrase_slop (proximity match), bm25f_topk
+                 (field-weighted scoring), and semantic_rerank
+                 (BM25 candidates → hashed-embedding cosine). Internals with no SQL form
                  (codec round-trips, WAND pruning, streaming state,
                  LSH recall, multimodal stubs) are pytest-verified;
                  see COVERAGE.md.

@@ -171,6 +171,82 @@ def ann_index_topk(spark, index_dir: str, query_vec: list[float], k: int = 10,
     return _ranked_topk(scored, k)
 
 
+def hashed_embeddings(docs: DataFrame, dim: int = 32, tokens_col: str = "tokens") -> DataFrame:
+    """(doc_id, emb array<double>): deterministic feature-hashing text
+    embedding — each token hashes to a bucket (md5-derived 60-bit hash
+    % dim) with a ±1 sign bit; the vector is the signed token-count
+    per bucket, L2-normalized. Pure Catalyst (explode → agg → map →
+    dense array); reproducible in DuckDB AND driver-side Python
+    (hash_embed_query), which is what puts the semantic-rerank
+    pipeline under the SQL oracle gate.
+
+    This is the honest stand-in for the reference's MiniLM embeddings
+    (src/semantic-scorer.ts:157-244): same algebra (embed → cosine →
+    re-sort), deterministic model. The neural swap point is exactly
+    here — replace this function with a mapInPandas ONNX batch encoder
+    (operators/multimodal.py shows the Arrow batch plumbing) and
+    nothing downstream changes."""
+    from .dedup import hash64
+
+    t = docs.select("doc_id", F.explode(tokens_col).alias("term"))
+    h = hash64(F.col("term"), F.lit("emb"))
+    b = t.select(
+        "doc_id",
+        F.pmod(h, F.lit(dim)).cast("int").alias("bucket"),
+        (F.shiftright(h, 40).bitwiseAND(F.lit(1)) * 2 - 1).cast("double").alias("sgn"),
+    )
+    vec = b.groupBy("doc_id", "bucket").agg(F.sum("sgn").alias("v"))
+    dense = (
+        vec.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("bucket", "v"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.try_element_at("m", i), F.lit(0.0)),
+            ).alias("raw"),
+        )
+    )
+    norm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    return dense.select(
+        "doc_id",
+        F.transform("raw", lambda x: x / norm).alias("emb"),
+    )
+
+
+def hash_embed_query(terms: list[str], dim: int = 32) -> list[float]:
+    """Driver-side twin of hashed_embeddings for a query token list —
+    bit-identical hash family (md5 60-bit), so query and corpus share
+    one embedding space."""
+    import hashlib
+
+    v = np.zeros(dim, dtype=np.float64)
+    for t in terms:
+        h = int(hashlib.md5(f"{t}#emb".encode()).hexdigest()[:15], 16)
+        v[h % dim] += 1.0 if (h >> 40) & 1 else -1.0
+    n = float(np.linalg.norm(v))
+    return (v / n).tolist() if n else v.tolist()
+
+
+def semantic_rerank(docs: DataFrame, candidates: DataFrame, query_terms: list[str],
+                    dim: int = 32, k: int = 10) -> DataFrame:
+    """(doc_id, cos): rerank a candidate set (column doc_id — e.g. the
+    BM25 top-N) by embedding cosine against the query (R15). The
+    embedding runs ONLY over the candidates (semi-join first): the
+    rerank cost is O(candidates), never a corpus pass."""
+    cand_docs = docs.join(candidates.select("doc_id"), "doc_id", "left_semi")
+    emb = hashed_embeddings(cand_docs, dim)
+    qv = F.array(*[F.lit(float(x)) for x in hash_embed_query(query_terms, dim)])
+    scored = emb.select(
+        "doc_id",
+        F.round(F.aggregate(F.zip_with("emb", qv, lambda a, b: a * b),
+                            F.lit(0.0), lambda a, x: a + x), 4).alias("cos"),
+    )
+    top = scored.orderBy(F.desc("cos"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95,
                              n_planes: int = 10, seed: int = 42) -> DataFrame:
     """(a, b, cos): embedding-cosine near-dup pairs via LSH bucket

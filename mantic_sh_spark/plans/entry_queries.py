@@ -977,6 +977,48 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_semantic_rerank(spark, sf_dir):
+    """R15 end-to-end under the oracle gate: BM25 top-50 candidates →
+    deterministic feature-hashing embeddings (md5 60-bit buckets, ±1
+    sign, L2 norm) → cosine vs the query vector → top-10. Same algebra
+    as the reference's MiniLM rerank (src/semantic-scorer.ts:157-244);
+    the neural swap point is hashed_embeddings (see docstring)."""
+    from ..functions.tokenize import tokenize_query
+    from ..operators.similarity import semantic_rerank
+
+    d = _docs_tok(spark, sf_dir)
+    cand = bm25_topk(spark, d, [(0, BM25_QUERY)], k=50).select("doc_id")
+    return semantic_rerank(d, cand, tokenize_query(BM25_QUERY), dim=32, k=10).select(
+        "doc_id", "cos"
+    )
+
+
+def _sql_semantic_rerank() -> str:
+    from ..functions.tokenize import tokenize_query
+    from ..operators.similarity import hash_embed_query
+
+    qvec = hash_embed_query(tokenize_query(BM25_QUERY), 32)
+    qvals = ", ".join(f"({i}, {v!r})" for i, v in enumerate(qvec) if v != 0.0)
+    h = "('0x'||substr(md5(term||'#emb'),1,15))::BIGINT"
+    return f"""
+WITH cand AS (SELECT doc_id FROM ({_bm25_sql([(0, BM25_QUERY)], k=50)})),
+ct AS (SELECT doc_id, unnest({TOK}) AS term FROM documents
+       WHERE doc_id IN (SELECT doc_id FROM cand)),
+hb AS (SELECT doc_id,
+              CAST({h} % 32 AS INT) AS bucket,
+              CASE WHEN ({h} >> 40) & 1 = 1 THEN 1.0 ELSE -1.0 END AS sgn
+       FROM ct),
+vec AS (SELECT doc_id, bucket, sum(sgn) AS v FROM hb GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY 1),
+qv AS (SELECT * FROM (VALUES {qvals}) AS t(bucket, qval)),
+dot AS (SELECT vec.doc_id, sum(vec.v * qv.qval) AS d FROM vec JOIN qv USING(bucket) GROUP BY 1),
+cs AS (SELECT nrm.doc_id, round(coalesce(dot.d, 0.0) / nrm.n, 4) AS cos
+       FROM nrm LEFT JOIN dot ON nrm.doc_id = dot.doc_id),
+ranked AS (SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn FROM cs)
+SELECT doc_id, cos FROM ranked WHERE rn <= 10
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 REGISTRY: dict[str, tuple] = {
@@ -1013,6 +1055,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "semantic_rerank": (q_semantic_rerank, _sql_semantic_rerank()),
     "fuzzy_closest": (q_fuzzy_closest, SQL_FUZZY_CLOSEST),
     "doc_classify": (q_doc_classify, SQL_DOC_CLASSIFY),
     "token_positions": (q_token_positions, SQL_TOKEN_POSITIONS),

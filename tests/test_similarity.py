@@ -130,3 +130,26 @@ def test_ann_index_topk_recall_and_pruning(spark, tmp_path):
     plan = explain_str(cand)
     assert "PartitionFilters" in plan
     assert "bucket" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_hashed_embedding_query_doc_agreement(spark):
+    """R15 pipeline invariant: a doc whose tokens equal the query's
+    token multiset embeds to the IDENTICAL vector via the Spark path
+    (hashed_embeddings) and the driver path (hash_embed_query) — one
+    embedding space across corpus and query."""
+    from mantic_sh_spark.functions.tokenize import tokens_col
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["alpha beta beta gamma"]}))
+    d = df.withColumn("tokens", tokens_col("text", camel=False))
+    emb = similarity.hashed_embeddings(d, dim=16).collect()[0].emb
+    qv = similarity.hash_embed_query(["alpha", "beta", "beta", "gamma"], 16)
+    assert np.allclose(emb, qv)
+    assert abs(np.linalg.norm(emb) - 1.0) < 1e-9
+
+    # rerank of an identical-text candidate scores cos == 1.0 at rank 1
+    df2 = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["alpha beta beta gamma", "totally different words here"]}))
+    d2 = df2.withColumn("tokens", tokens_col("text", camel=False))
+    cand = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2]}))
+    out = similarity.semantic_rerank(d2, cand, ["alpha", "beta", "beta", "gamma"], dim=16, k=2).collect()
+    assert out[0].doc_id == 1 and out[0].cos == 1.0 and out[0].rank == 1
