@@ -84,7 +84,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--slop", type=int, default=0, help="proximity window for --engine phrase")
     q.add_argument("--url-weight", type=float, default=2.5,
                    help="url-field weight for --engine bm25f (body weight is 1.0)")
-    q.add_argument("--format", choices=["json", "text"], default="json")
+    q.add_argument("--format", choices=["json", "text", "md"], default="json",
+                   help="md renders a per-query markdown table (the reference's "
+                        "context-formatter output shape)")
 
     st = sub.add_parser("stats", help="index build metrics")
     st.add_argument("--index", required=True)
@@ -92,6 +94,8 @@ def main(argv: list[str] | None = None) -> int:
     sv = sub.add_parser("serve", help="long-lived JSON-lines query service (no Spark "
                                       "job per query; see mantic_sh_spark/serve.py)")
     sv.add_argument("--index", required=True)
+    sv.add_argument("--log-dir", default=None,
+                    help="persist session query history as a parquet table (S9)")
 
     args = p.parse_args(argv)
 
@@ -99,7 +103,7 @@ def main(argv: list[str] | None = None) -> int:
         # serving replicas read the committed parquet directly — no JVM
         from .serve import serve_loop
 
-        served = serve_loop(args.index)
+        served = serve_loop(args.index, log_dir=args.log_dir)
         print(json.dumps({"served": served}), file=sys.stderr)
         return 0
 
@@ -251,6 +255,18 @@ def main(argv: list[str] | None = None) -> int:
                     {"rank": r.rank, "doc_id": r.doc_id, "url": r.url, "score": r.score}
                 )
             print(json.dumps(out, indent=1))
+        elif args.format == "md":
+            # markdown context block (reference: src/context-formatter.ts:7-92)
+            by_q: dict[int, list] = {}
+            for r in rows:
+                by_q.setdefault(r.query_id, []).append(r)
+            for qid, rs in sorted(by_q.items()):
+                print(f"## Results for `{args.q[qid]}`\n")
+                print("| rank | score | url |")
+                print("|---|---|---|")
+                for r in rs:
+                    print(f"| {r.rank} | {r.score:.4f} | {r.url} |")
+                print()
         else:
             for r in rows:
                 print(f"{args.q[r.query_id]}\t{r.rank}\t{r.score:.4f}\t{r.url}")

@@ -206,7 +206,75 @@ class IndexReader:
         ]
 
 
-def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float = B) -> int:
+class QueryLog:
+    """Buffered parquet sink for the serving session's query history —
+    the reference's session/pattern sink (S9; its MCP server persists
+    per-session query history the same way). Rows flush every
+    `flush_every` requests and on close; each flush is one columnar
+    file, so the log is itself a Spark-scannable table
+    (`read_query_log`) feeding the session-boost join (R13 —
+    `context_boost` entry shape)."""
+
+    SCHEMA_COLS = ("ts", "q", "k", "n_results", "ms", "top_doc_ids")
+
+    def __init__(self, log_dir: str, flush_every: int = 32):
+        import os
+
+        self.log_dir = log_dir
+        self.flush_every = flush_every
+        self._rows: list[dict] = []
+        self._n_flushed = 0
+        os.makedirs(log_dir, exist_ok=True)
+
+    def record(self, q: str, k: int, results: list[dict], ms: float) -> None:
+        self._rows.append({
+            "ts": time.time(), "q": q, "k": int(k), "n_results": len(results),
+            "ms": float(ms), "top_doc_ids": [int(r["doc_id"]) for r in results],
+        })
+        if len(self._rows) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._rows:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.table({
+            "ts": pa.array([r["ts"] for r in self._rows], pa.float64()),
+            "q": pa.array([r["q"] for r in self._rows], pa.string()),
+            "k": pa.array([r["k"] for r in self._rows], pa.int32()),
+            "n_results": pa.array([r["n_results"] for r in self._rows], pa.int32()),
+            "ms": pa.array([r["ms"] for r in self._rows], pa.float64()),
+            "top_doc_ids": pa.array([r["top_doc_ids"] for r in self._rows],
+                                    pa.list_(pa.int64())),
+        })
+        pq.write_table(tbl, f"{self.log_dir}/log-{int(self._rows[0]['ts'] * 1e6)}-{self._n_flushed}.parquet")
+        self._n_flushed += 1
+        self._rows = []
+
+
+def read_query_log(spark, log_dir: str):
+    """Session query history as a DataFrame (S9 source side)."""
+    return spark.read.parquet(log_dir)
+
+
+def session_doc_boost(spark, log_dir: str):
+    """(doc_id, hits): how often each doc appeared in this session's
+    recent results — the R13 session-boost prior, joinable exactly like
+    the `context_boost` entry (broadcast semi-join + when)."""
+    from pyspark.sql import functions as F
+
+    log = read_query_log(spark, log_dir)
+    return (
+        log.select(F.explode("top_doc_ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float = B,
+               log_dir: str | None = None) -> int:
     """JSON-lines serving loop (the `serve` CLI subcommand).
 
     Request per line:
@@ -216,6 +284,7 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
       {"op": "quit"}                               → exit
     Response per line: {"results": [...], "ms": 1.8} (or {"ok": true},
     or {"error": "..."} — the loop never dies on a bad request).
+    log_dir persists the session's query history (see QueryLog).
     Returns the number of queries served.
     """
     import sys
@@ -223,6 +292,7 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     reader = IndexReader(index_dir, k1=k1, b=b)
+    qlog = QueryLog(log_dir) if log_dir else None
     served = 0
     for line in stdin:
         line = line.strip()
@@ -243,11 +313,13 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
             results = reader.search(req["q"], k=int(req.get("k", 10)),
                                     with_urls=bool(req.get("urls", False)))
             served += 1
-            print(
-                json.dumps({"results": results, "ms": round((time.time() - t0) * 1e3, 2)}),
-                file=stdout, flush=True,
-            )
+            ms = round((time.time() - t0) * 1e3, 2)
+            if qlog is not None:
+                qlog.record(req["q"], req.get("k", 10), results, ms)
+            print(json.dumps({"results": results, "ms": ms}), file=stdout, flush=True)
         except Exception as exc:  # serve loops answer errors, not crash
             print(json.dumps({"error": f"{type(exc).__name__}: {exc}"}),
                   file=stdout, flush=True)
+    if qlog is not None:
+        qlog.flush()
     return served

@@ -86,3 +86,40 @@ def test_reader_refresh_sees_deletes(spark, small_corpus, tmp_path):
     after = reader.topk("w1x w3x", k=5)
     assert victim not in {d for d, _ in after}
     assert {d for d, _ in before[1:]} <= {d for d, _ in after}
+
+
+def test_query_log_sink_and_session_boost(spark, small_corpus, tmp_path):
+    """S9/R13: the serve loop persists query history as a parquet table
+    a Spark session can scan, and session_doc_boost aggregates it into
+    the context-boost prior shape."""
+    from mantic_sh_spark.serve import read_query_log, session_doc_boost
+
+    idx = small_corpus["index_dir"]
+    log_dir = str(tmp_path / "qlog")
+    reqs = "\n".join(
+        [json.dumps({"q": f"w{i}x w{i+1}x", "k": 4}) for i in range(1, 6)]
+        + [json.dumps({"op": "quit"})]
+    )
+    served = serve_loop(idx, stdin=io.StringIO(reqs), stdout=io.StringIO(), log_dir=log_dir)
+    assert served == 5
+
+    log = read_query_log(spark, log_dir)
+    rows = log.orderBy("ts").collect()
+    assert len(rows) == 5
+    assert rows[0].q == "w1x w2x" and rows[0].n_results == 4 and len(rows[0].top_doc_ids) == 4
+    assert all(r.ms >= 0 for r in rows)
+
+    boost = session_doc_boost(spark, log_dir)
+    total = boost.agg({"hits": "sum"}).collect()[0][0]
+    assert total == sum(r.n_results for r in rows)
+    assert boost.filter("hits > 1").count() >= 1  # overlapping queries share docs
+
+
+def test_cli_md_format(spark, small_corpus, capsys):
+    from mantic_sh_spark.cli import main
+
+    assert main(["query", "--index", small_corpus["index_dir"], "--q", "w1x w5x",
+                 "--k", "3", "--format", "md"]) == 0
+    out = capsys.readouterr().out
+    assert "## Results for `w1x w5x`" in out and "| rank | score | url |" in out
+    assert out.count("| 1 |") == 1 and "https://" in out
