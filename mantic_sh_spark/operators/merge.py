@@ -79,6 +79,42 @@ def _purge_docs_and_stats(spark, paths, srcs, purge_df) -> None:
         _delete_path(spark, staging)
 
 
+def maybe_compact(
+    spark: SparkSession,
+    index_dir: str,
+    max_segments: int = 16,
+    k1: float = K1,
+    b: float = B,
+) -> int | None:
+    """LSM maintenance policy: when the live segment count exceeds
+    max_segments, fold the SMALLEST half (by postings bytes) into one
+    compacted segment — tombstones owned by those segments purge as a
+    side effect. Keeps per-query fan-out (one WAND run per segment)
+    and block raggedness bounded under continuous ingestion; the cost
+    is proportional to the small segments being folded, never the
+    whole index (the standard tiered-compaction trade). Returns the
+    destination segment id, or None if below threshold."""
+    from .index_build import _list_segments
+
+    paths = IndexPaths(index_dir)
+    segs = _list_segments(spark, paths.postings)
+    if len(segs) <= max_segments:
+        return None
+    sizes = {
+        r.segment_id: r.bytes
+        for r in spark.read.parquet(paths.terms)
+        .groupBy("segment_id")
+        .agg(F.sum("bytes").alias("bytes"))
+        .collect()
+    }
+    by_size = sorted(segs, key=lambda s: (sizes.get(s, 0), s))
+    n_fold = max(2, len(segs) - max_segments + 1)
+    victims = by_size[:n_fold]
+    dst = max(segs) + 1
+    return merge_segments(spark, index_dir, victims, dst_segment=dst,
+                          compact=True, purge=True, k1=k1, b=b)
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,

@@ -172,17 +172,37 @@ def stream_index(
     checkpoint_dir: str,
     schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
     n_new_segments: int = 2,
+    mode: str = "extend",
+    max_segments: int | None = None,
 ):
     """Structured-Streaming ingestion: each availableNow micro-batch of
-    newly arrived page files is folded in via extend_index. Spark's
+    newly arrived page files is folded into the index. Spark's
     checkpoint gives exactly-once batch tracking; the index manifest
-    gives per-segment lineage inside each fold."""
+    gives per-segment lineage inside each fold.
+
+    mode="extend"  — batches are append-only (new urls).
+    mode="upsert"  — batches may revisit urls (a recrawl feed):
+                     modified content tombstones the old doc ids and
+                     folds the delta; unchanged pages are skipped —
+                     the streaming form of the reference's incremental
+                     update (src/cache.ts:191-219).
+    max_segments   — LSM maintenance: after a fold, if live segments
+                     exceed this, the smallest ones compact-merge
+                     (maybe_compact), keeping read amplification
+                     bounded under continuous ingestion."""
     stream = spark.readStream.schema(schema).parquet(pages_glob)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        extend_index(spark, index_dir, batch_df, n_new_segments=n_new_segments)
+        if mode == "upsert":
+            upsert_pages(spark, index_dir, batch_df, n_new_segments=n_new_segments)
+        else:
+            extend_index(spark, index_dir, batch_df, n_new_segments=n_new_segments)
+        if max_segments is not None:
+            from ..operators.merge import maybe_compact
+
+            maybe_compact(spark, index_dir, max_segments=max_segments)
 
     return (
         stream.writeStream.foreachBatch(fold)

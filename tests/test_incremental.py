@@ -185,3 +185,66 @@ def test_upsert_matches_fresh_build(spark, tmp_path):
         return out
 
     assert normalize(by_url(idx)) == normalize(by_url(fresh))
+
+
+def test_stream_upsert_mode_with_auto_compact(spark, tmp_path):
+    """Streaming recrawl feed: mode='upsert' folds {modified, added}
+    batches with tombstoning, and max_segments triggers the LSM
+    auto-compaction policy — results stay rank-identical to the
+    exhaustive engine over the final live corpus."""
+    from mantic_sh_spark.operators.index_build import _list_segments
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.streaming.incremental import stream_index
+
+    cfg = SynthConfig(n_docs=150, vocab_size=250, seed=71)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=64, block_size=16)
+
+    # feed: 40 modified urls + 30 new urls, as TWO files (micro-batches)
+    feed_dir = str(tmp_path / "feed")
+    mod_urls = [r.url for r in pages.select("url").orderBy("url").limit(40).collect()]
+    modified = pages.filter(F.col("url").isin(mod_urls)).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzrecrawl"))
+    )
+    added = gen_pages(spark, replace(cfg, seed=72, n_docs=30, needle_every=0), partitions=1
+                      ).withColumn("url", F.regexp_replace("url", "example/", "example/r2/"))
+    modified.coalesce(1).write.parquet(feed_dir)
+    added.coalesce(1).write.mode("append").parquet(feed_dir)
+
+    q = stream_index(spark, feed_dir, idx, str(tmp_path / "ckpt"),
+                     n_new_segments=2, mode="upsert", max_segments=3)
+    q.awaitTermination(180)
+
+    # auto-compaction kept the segment count bounded
+    assert len(_list_segments(spark, IndexPaths(idx).postings)) <= 3
+
+    docs = spark.read.parquet(f"{idx}/docs")
+    from mantic_sh_spark.operators.delete import live_docs, tombstone_ids
+
+    # the LIVE view is exactly the updated corpus; old modified versions
+    # are tombstoned (and physically purged only when a compaction folds
+    # their owner segment — the LSM contract)
+    live = live_docs(docs, spark, IndexPaths(idx))
+    assert live.count() == 150 + 30
+
+    # pre-purge parity contract (as in test_delete): WAND scores with
+    # stats over ALL docs still in the table (incl. tombstoned-unpurged)
+    # and excludes dead docs at the heap — so the exhaustive twin scores
+    # the full table, then filters to live and truncates to k
+    dead = set(tombstone_ids(spark, IndexPaths(idx)).tolist())
+    queries = gen_queries(cfg, n_queries=10) + [(50, "zzrecrawl")]
+    all_docs = docs.withColumn("tokens", tokens_col("text"))
+    ex_rows = bm25_topk(spark, all_docs, queries, k=6 + len(dead)).orderBy("query_id", "rank").collect()
+    want = {}
+    for r in ex_rows:
+        if r.doc_id in dead:
+            continue
+        want.setdefault(r.query_id, [])
+        if len(want[r.query_id]) < 6:
+            want[r.query_id].append((r.doc_id, round(r.score, 4)))
+    got = {}
+    for r in wand_topk(spark, idx, queries, k=6).orderBy("query_id", "rank").collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 4)))
+    assert got == {q: v for q, v in want.items() if v}
+    assert 50 in got, "recrawled content must be retrievable"
