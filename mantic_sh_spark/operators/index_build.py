@@ -45,7 +45,7 @@ from ..functions import codec
 from ..functions.codec import encode_stream_fn
 from ..functions.bm25 import B, K1
 from ..sources.catalog import IndexPaths, append_manifest, done_segments, read_or_none
-from .docs import build_docs, collection_stats, doc_stats
+from .docs import build_docs, doc_stats
 
 BLOCK_ROW_SCHEMA = (
     "term string, segment_id int, first_doc long, last_doc long, "
@@ -227,25 +227,37 @@ def build_postings_for_segments(
     ).parquet(paths.terms)
     _t = _trace("terms dir", _t)
 
-    metrics = (
-        spark.read.parquet(paths.terms)
-        .filter(F.col("segment_id").isin(segs))
-        .groupBy("segment_id")
-        .agg(
-            F.sum("df").alias("n_postings"),
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("bytes").alias("bytes"),
+    # two independent tiny agg jobs — submitted CONCURRENTLY so their
+    # fixed job-scheduling latency overlaps (part of the build's serial
+    # tail; the scheduler interleaves their stages across free cores)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _metrics_rows():
+        return (
+            spark.read.parquet(paths.terms)
+            .filter(F.col("segment_id").isin(segs))
+            .groupBy("segment_id")
+            .agg(
+                F.sum("df").alias("n_postings"),
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("bytes").alias("bytes"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    n_docs_by_seg = {
-        r.segment_id: r.n
-        for r in spark.read.parquet(paths.norms)
-        .filter(F.col("segment_id").isin(segs))
-        .groupBy("segment_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+
+    def _seg_counts():
+        return (
+            spark.read.parquet(paths.norms)
+            .filter(F.col("segment_id").isin(segs))
+            .groupBy("segment_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    with ThreadPoolExecutor(2) as pool:
+        f_metrics, f_counts = pool.submit(_metrics_rows), pool.submit(_seg_counts)
+        metrics = f_metrics.result()
+        n_docs_by_seg = {r.segment_id: r.n for r in f_counts.result()}
     _t = _trace("metrics", _t)
     finished = time.time()
     return [
@@ -322,7 +334,6 @@ def build_index(
         docs_read = read_or_none(spark, paths.docs)
         if docs_read is None:  # empty corpus — a parquet write of 0 rows
             # leaves no readable files; commit an empty-but-valid index
-            import pandas as pd  # noqa: F811
 
             spark.createDataFrame(
                 pd.DataFrame({"n_docs": [0], "avgdl": [0.0]}), "n_docs long, avgdl double"
@@ -336,11 +347,20 @@ def build_index(
         doc_stats(docs_read).repartition("segment_id").write.mode("overwrite").partitionBy(
             "segment_id"
         ).parquet(paths.norms)
-        collection_stats(spark.read.parquet(paths.norms)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(paths.collection_stats)
+        # one agg job over the tiny norms sidecar; the single-row stats
+        # table then writes from the driver (pandas → Arrow) — no second
+        # Spark agg job and no re-read for n_docs
+        srow = (
+            spark.read.parquet(paths.norms)
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
+            .collect()[0]
+        )
+        spark.createDataFrame(
+            pd.DataFrame({"n_docs": [srow.n_docs], "avgdl": [float(srow.avgdl or 0.0)]}),
+            "n_docs long, avgdl double",
+        ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
         _t = _trace("norms+collection_stats", _t)
-        n_docs = spark.read.parquet(paths.collection_stats).collect()[0].n_docs
+        n_docs = srow.n_docs
         append_manifest(
             spark,
             paths,
