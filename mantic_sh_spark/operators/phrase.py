@@ -55,39 +55,51 @@ def _match_count(pos_lists: list[np.ndarray], slop: int) -> int:
     return int(valid.sum())
 
 
+def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
+                           dead: np.ndarray | None = None,
+                           slop: int = 0) -> list[tuple[int, int]]:
+    """One (segment, phrase) evaluation → [(doc_id, n_matches)].
+    Shared by the distributed UDF and the serving reader (the same
+    sharing discipline as wand.segment_topk)."""
+    if not terms or any(t not in by_term for t in terms):
+        return []
+    decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
+    # candidate docs: intersect doc sets, smallest first
+    doc_sets = [decoded[t][0] for t in terms]
+    cand = doc_sets[0]
+    for ds in sorted(doc_sets[1:], key=len):
+        cand = np.intersect1d(cand, ds, assume_unique=True)
+        if not len(cand):
+            break
+    if dead is not None and len(dead) and len(cand):
+        pos_in_dead = np.searchsorted(dead, cand)
+        hit = (pos_in_dead < len(dead)) & (
+            dead[np.minimum(pos_in_dead, len(dead) - 1)] == cand
+        )
+        cand = cand[~hit]
+    out: list[tuple[int, int]] = []
+    for doc in cand.tolist():
+        pos_lists = []
+        for t in terms:
+            docs_t, pos_t = decoded[t]
+            j = int(np.searchsorted(docs_t, doc))
+            pos_lists.append(pos_t[j])
+        n = _match_count(pos_lists, slop)
+        if n:
+            out.append((doc, n))
+    return out
+
+
 def _phrase_udf(queries: dict[int, list[str]], dead: np.ndarray | None = None,
                 slop: int = 0):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         by_term = {t: g for t, g in pdf.groupby("term")}
         out_q, out_d, out_n = [], [], []
         for qid, terms in queries.items():
-            if not terms or any(t not in by_term for t in terms):
-                continue
-            decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
-            # candidate docs: intersect doc sets, smallest first
-            doc_sets = [decoded[t][0] for t in terms]
-            cand = doc_sets[0]
-            for ds in sorted(doc_sets[1:], key=len):
-                cand = np.intersect1d(cand, ds, assume_unique=True)
-                if not len(cand):
-                    break
-            if dead is not None and len(dead) and len(cand):
-                pos_in_dead = np.searchsorted(dead, cand)
-                hit = (pos_in_dead < len(dead)) & (
-                    dead[np.minimum(pos_in_dead, len(dead) - 1)] == cand
-                )
-                cand = cand[~hit]
-            for doc in cand.tolist():
-                pos_lists = []
-                for t in terms:
-                    docs_t, pos_t = decoded[t]
-                    j = int(np.searchsorted(docs_t, doc))
-                    pos_lists.append(pos_t[j])
-                n = _match_count(pos_lists, slop)
-                if n:
-                    out_q.append(qid)
-                    out_d.append(doc)
-                    out_n.append(n)
+            for doc, n in segment_phrase_matches(by_term, terms, dead, slop):
+                out_q.append(qid)
+                out_d.append(doc)
+                out_n.append(n)
         return pd.DataFrame(
             {
                 "query_id": pd.array(out_q, dtype="int32"),

@@ -6,8 +6,10 @@ README.md:82-85).
 Architecture: Spark is the BUILD/ANALYTICS plane; serving replicas run
 this module — a long-lived `IndexReader` that reads the exact parquet
 artifacts the Spark jobs commit, via pyarrow row-group-pruned reads,
-and executes the SAME Block-Max WAND kernel (`operators/wand.py`
-`_Cursor` + `block_max_wand`) the distributed path uses. No Spark job
+and executes the SAME per-segment kernels the distributed path uses
+(`operators/wand.py::segment_topk` for BM25,
+`operators/phrase.py::segment_phrase_matches` for positional phrase /
+proximity queries). No Spark job
 — and no JVM — is on the per-query path, so latency is decode-bound
 (milliseconds), not job-scheduling-bound.
 
@@ -22,7 +24,8 @@ Scale notes (what changes at 10^12 docs, nothing structural):
     repeated/zipfian query terms hit memory, cold terms cost one
     columnar read. Replicas shard by index or by segment range when
     one box can't hold the hot set.
-  * results are (doc_id, score) — identical, by test, to wand_topk.
+  * results are (doc_id, score) — identical, by test, to wand_topk;
+    phrase results identical to phrase_topk (positional indexes).
 
 `serve_loop` is the service harness: JSON-lines in, JSON-lines out —
 the same contract an MCP/HTTP adapter would wrap.
@@ -55,6 +58,7 @@ class IndexReader:
         self.k1, self.b = k1, b
         self.max_hot_terms = max_hot_terms
         self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
+        self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
         self._df_cache: dict[str, int] = {}
         self.refresh()
 
@@ -92,6 +96,7 @@ class IndexReader:
         self._docs = ds.dataset(self.paths.docs, format="parquet",
                                 partitioning="hive")
         self._blocks_lru.clear()
+        self._pos_lru.clear()
         self._df_cache.clear()
 
     @staticmethod
@@ -196,11 +201,81 @@ class IndexReader:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
-    def search(self, query: str, k: int = 10, with_urls: bool = False) -> list[dict]:
-        hits = self.topk(query, k)
+    @property
+    def has_positions(self) -> bool:
+        return "positions" in self._postings.schema.names
+
+    def _pos_blocks(self, terms: list[str]) -> dict[str, "object"]:
+        """term → blocks frame INCLUDING positions bytes (phrase path;
+        cached separately from the BM25 hot set so non-phrase queries
+        never hold position payloads in memory)."""
+        import pyarrow.dataset as ds
+
+        out = {}
+        missing = []
+        for t in terms:
+            hit = self._pos_lru.get(t)
+            if hit is not None:
+                self._pos_lru.move_to_end(t)
+                out[t] = hit
+            else:
+                missing.append(t)
+        if missing:
+            tbl = self._postings.to_table(
+                filter=ds.field("term").isin(missing),
+                columns=_POSTING_COLS + ["positions", "segment_id"],
+            )
+            pdf = tbl.to_pandas()
+            found = set()
+            for t, g in pdf.groupby("term"):
+                self._pos_lru[t] = g.reset_index(drop=True)
+                out[t] = self._pos_lru[t]
+                found.add(t)
+            for t in missing:
+                if t not in found:
+                    self._pos_lru[t] = pdf.iloc[0:0]
+                    out[t] = self._pos_lru[t]
+            while len(self._pos_lru) > self.max_hot_terms:
+                self._pos_lru.popitem(last=False)
+        return out
+
+    def phrase_topk(self, phrase: str, k: int = 10, slop: int = 0) -> list[tuple[int, int]]:
+        """[(doc_id, n_matches)] ranked (n_matches desc, doc_id asc) —
+        exact/sloppy phrase served from positional postings with no
+        Spark job; value-identical to operators.phrase.phrase_topk
+        (same per-segment kernel)."""
+        from .functions.tokenize import tokenize
+        from .operators.phrase import segment_phrase_matches
+
+        if not self.has_positions:
+            raise ValueError("phrase serving requires an index built with store_positions=True")
+        terms = tokenize(phrase)  # ordered, repeats kept
+        if not terms:
+            return []
+        blocks = self._pos_blocks(sorted(set(terms)))
+        per_seg: dict[int, dict[str, object]] = {}
+        for t, pdf in blocks.items():
+            if not len(pdf):
+                continue
+            for seg, g in pdf.groupby("segment_id"):
+                per_seg.setdefault(int(seg), {})[t] = g
+        hits: list[tuple[int, int]] = []
+        for seg, by_term in per_seg.items():
+            hits.extend(segment_phrase_matches(by_term, terms, self.dead, slop))
+        hits.sort(key=lambda x: (-x[1], x[0]))
+        return hits[:k]
+
+    def search(self, query: str, k: int = 10, with_urls: bool = False,
+               phrase: bool = False, slop: int = 0) -> list[dict]:
+        if phrase:
+            hits = self.phrase_topk(query, k, slop=slop)
+            key = "n_matches"
+        else:
+            hits = self.topk(query, k)
+            key = "score"
         url_map = self.urls([d for d, _ in hits]) if with_urls else {}
         return [
-            {"rank": i + 1, "doc_id": d, "score": s,
+            {"rank": i + 1, "doc_id": d, key: s,
              **({"url": url_map.get(d)} if with_urls else {})}
             for i, (d, s) in enumerate(hits)
         ]
@@ -278,7 +353,8 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
     """JSON-lines serving loop (the `serve` CLI subcommand).
 
     Request per line:
-      {"q": "spark join", "k": 10, "urls": true}   → search
+      {"q": "spark join", "k": 10, "urls": true}   → BM25 search
+      {"q": "spark join", "phrase": true, "slop": 2} → positional phrase
       {"op": "refresh"}                            → reload metadata
       {"op": "ping"}                               → liveness
       {"op": "quit"}                               → exit
@@ -311,7 +387,9 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                 continue
             t0 = time.time()
             results = reader.search(req["q"], k=int(req.get("k", 10)),
-                                    with_urls=bool(req.get("urls", False)))
+                                    with_urls=bool(req.get("urls", False)),
+                                    phrase=bool(req.get("phrase", False)),
+                                    slop=int(req.get("slop", 0)))
             served += 1
             ms = round((time.time() - t0) * 1e3, 2)
             if qlog is not None:

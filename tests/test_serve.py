@@ -123,3 +123,37 @@ def test_cli_md_format(spark, small_corpus, capsys):
     out = capsys.readouterr().out
     assert "## Results for `w1x w5x`" in out and "| rank | score | url |" in out
     assert out.count("| 1 |") == 1 and "https://" in out
+
+
+def test_reader_phrase_matches_spark_engine(spark, tmp_path):
+    """Phrase serving: IndexReader.phrase_topk (no Spark job) must be
+    value-identical to the distributed phrase engine, exact and sloppy,
+    and route through the serve loop."""
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.phrase import phrase_topk
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    cfg = SynthConfig(n_docs=220, vocab_size=110, seed=53)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "posidx")
+    build_index(spark, pages, idx, n_segments=2, chunk_size=64, block_size=32,
+                store_positions=True)
+    reader = IndexReader(idx)
+    assert reader.has_positions
+
+    for phrase, slop in (("w0x w1x", 0), ("w0x w2x", 2)):
+        want = [
+            (r.doc_id, r.n_matches)
+            for r in phrase_topk(spark, idx, [(0, phrase)], k=50, slop=slop)
+            .orderBy("rank").collect()
+        ]
+        got = reader.phrase_topk(phrase, k=50, slop=slop)
+        assert got == want and want, (phrase, slop)
+
+    # serve-loop routing
+    out = io.StringIO()
+    serve_loop(idx, stdin=io.StringIO(
+        json.dumps({"q": "w0x w1x", "phrase": True, "k": 5, "urls": True}) + "\n"
+        + json.dumps({"op": "quit"}) + "\n"), stdout=out)
+    res = json.loads(out.getvalue().splitlines()[0])["results"]
+    assert res and res[0]["rank"] == 1 and "n_matches" in res[0] and res[0]["url"]
