@@ -60,6 +60,7 @@ class IndexReader:
         self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
         self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
         self._df_cache: dict[str, int] = {}
+        self.truncated = False  # last topk() hit its budget_ms deadline
         self.refresh()
 
     # ---------------------------------------------------------- metadata
@@ -171,12 +172,21 @@ class IndexReader:
         return dict(zip(d["doc_id"], d["url"]))
 
     # ---------------------------------------------------------- queries
-    def topk(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+    def topk(self, query: str, k: int = 10,
+             budget_ms: float | None = None) -> list[tuple[int, float]]:
         """[(doc_id, score)] — value-identical to wand_topk (same
         per-segment kernel — segment_topk's cost-based TAAT/WAND choice
-        — same rounding, same tie-break)."""
+        — same rounding, same tie-break).
+
+        budget_ms is the ST4 timeout guard (reference: the search
+        timeout that returns partial results rather than hanging an
+        agent): the deadline is checked between SEGMENTS — at least one
+        segment always completes — and exceeding it stops the sweep;
+        self.truncated records whether the last answer was partial."""
         from .operators.wand import segment_topk
 
+        t0 = time.time()
+        self.truncated = False
         terms = tokenize_query(query)
         dfs = self.df(terms)
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
@@ -191,7 +201,10 @@ class IndexReader:
                 per_seg.setdefault(int(seg), {})[t] = g
         hits: list[tuple[int, float]] = []
         qterms = sorted(idf_map)
-        for seg, by_term in per_seg.items():
+        for i, (seg, by_term) in enumerate(sorted(per_seg.items())):
+            if budget_ms is not None and i > 0 and (time.time() - t0) * 1e3 > budget_ms:
+                self.truncated = True
+                break
             hits.extend(
                 segment_topk(by_term, qterms, idf_map, self.avgdl, k,
                              self.k1, self.b,
@@ -266,12 +279,13 @@ class IndexReader:
         return hits[:k]
 
     def search(self, query: str, k: int = 10, with_urls: bool = False,
-               phrase: bool = False, slop: int = 0) -> list[dict]:
+               phrase: bool = False, slop: int = 0,
+               budget_ms: float | None = None) -> list[dict]:
         if phrase:
             hits = self.phrase_topk(query, k, slop=slop)
             key = "n_matches"
         else:
-            hits = self.topk(query, k)
+            hits = self.topk(query, k, budget_ms=budget_ms)
             key = "score"
         url_map = self.urls([d for d, _ in hits]) if with_urls else {}
         return [
@@ -386,15 +400,20 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                 print(json.dumps({"ok": True, "n_docs": reader.n_docs}), file=stdout, flush=True)
                 continue
             t0 = time.time()
+            budget = req.get("budget_ms")
             results = reader.search(req["q"], k=int(req.get("k", 10)),
                                     with_urls=bool(req.get("urls", False)),
                                     phrase=bool(req.get("phrase", False)),
-                                    slop=int(req.get("slop", 0)))
+                                    slop=int(req.get("slop", 0)),
+                                    budget_ms=float(budget) if budget is not None else None)
             served += 1
             ms = round((time.time() - t0) * 1e3, 2)
             if qlog is not None:
                 qlog.record(req["q"], req.get("k", 10), results, ms)
-            print(json.dumps({"results": results, "ms": ms}), file=stdout, flush=True)
+            resp = {"results": results, "ms": ms}
+            if reader.truncated:
+                resp["truncated"] = True  # ST4: partial answer, deadline hit
+            print(json.dumps(resp), file=stdout, flush=True)
         except Exception as exc:  # serve loops answer errors, not crash
             print(json.dumps({"error": f"{type(exc).__name__}: {exc}"}),
                   file=stdout, flush=True)

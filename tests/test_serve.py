@@ -157,3 +157,33 @@ def test_reader_phrase_matches_spark_engine(spark, tmp_path):
         + json.dumps({"op": "quit"}) + "\n"), stdout=out)
     res = json.loads(out.getvalue().splitlines()[0])["results"]
     assert res and res[0]["rank"] == 1 and "n_matches" in res[0] and res[0]["url"]
+
+
+def test_timeout_guard_returns_partial(spark, small_corpus):
+    """ST4: a per-request time budget stops the segment sweep after the
+    deadline — at least one segment always answers, the reader flags
+    truncation, and an un-budgeted rerun is complete again."""
+    reader = IndexReader(small_corpus["index_dir"])
+    full = reader.topk("w1x w2x", k=8)
+    assert not reader.truncated and full
+
+    partial = reader.topk("w1x w2x", k=8, budget_ms=0.0)
+    assert reader.truncated
+    assert partial and set(partial) <= {(d, s) for d, s in full} | set(partial)
+    # partial results are a subset of some segments' true top-k: every
+    # returned doc must appear in the full ranking extended to all docs
+    exhaustive = dict(reader.topk("w1x w2x", k=10**6))
+    assert all(abs(exhaustive[d] - s) < 1e-9 for d, s in partial)
+
+    # budget large enough → complete again, flag cleared
+    again = reader.topk("w1x w2x", k=8, budget_ms=60_000)
+    assert again == full and not reader.truncated
+
+    # serve-loop surfacing
+    out = io.StringIO()
+    serve_loop(small_corpus["index_dir"],
+               stdin=io.StringIO(json.dumps({"q": "w1x w2x", "budget_ms": 0}) + "\n"
+                                 + json.dumps({"op": "quit"}) + "\n"),
+               stdout=out)
+    resp = json.loads(out.getvalue().splitlines()[0])
+    assert resp.get("truncated") is True and resp["results"]
