@@ -1,6 +1,9 @@
-"""Randomized WAND-vs-exhaustive rank-identity campaign across
-adversarial index layouts (tiny blocks, tiny salt chunks, 1-5 segments,
-optional compacting merges). Usage: python tools/fuzz_wand.py"""
+"""Randomized rank-identity campaign across adversarial index layouts
+(tiny blocks, tiny salt chunks, 1-5 segments, optional compacting
+merges): the distributed engine (wand_topk — cost-routed TAAT/WAND)
+must equal exhaustive BM25, and the serving reader (serve.IndexReader,
+no Spark on the query path) must equal the distributed engine.
+Usage: python tools/fuzz_wand.py"""
 
 import shutil
 import sys
@@ -12,6 +15,7 @@ from mantic_sh_spark.operators.index_build import build_index
 from mantic_sh_spark.operators.merge import merge_segments
 from mantic_sh_spark.operators.query import bm25_topk
 from mantic_sh_spark.operators.wand import wand_topk
+from mantic_sh_spark.serve import IndexReader
 from mantic_sh_spark.sources.synth import SynthConfig, gen_pages, gen_queries
 
 spark = get_spark(cores=8)
@@ -31,8 +35,18 @@ for seed, bs, cs, nseg, vocab, do_merge in cases:
     docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
     rx = bm25_topk(spark, docs, queries, k=8).orderBy("query_id", "rank").collect()
     ok = [(r.query_id, r.doc_id, r.score) for r in rw] == [(r.query_id, r.doc_id, r.score) for r in rx]
-    fails += not ok
-    print(f"seed={seed} bs={bs} cs={cs} nseg={nseg} vocab={vocab} merge={do_merge}: {'OK' if ok else 'MISMATCH'}", flush=True)
+    # serving-path identity on the same layout
+    reader = IndexReader(idx)
+    wand_by_q = {}
+    for r in rw:
+        wand_by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 4)))
+    serve_ok = all(
+        [(d, round(s, 4)) for d, s in reader.topk(q, k=8)] == wand_by_q.get(qid, [])
+        for qid, q in queries
+    )
+    fails += not (ok and serve_ok)
+    print(f"seed={seed} bs={bs} cs={cs} nseg={nseg} vocab={vocab} merge={do_merge}: "
+          f"{'OK' if ok else 'MISMATCH'} serve={'OK' if serve_ok else 'MISMATCH'}", flush=True)
     shutil.rmtree(idx, ignore_errors=True)
 print("FAILS:", fails)
 spark.stop()
