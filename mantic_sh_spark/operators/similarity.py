@@ -171,6 +171,99 @@ def ann_index_topk(spark, index_dir: str, query_vec: list[float], k: int = 10,
     return _ranked_topk(scored, k)
 
 
+def _spherical_kmeans(mat: np.ndarray, n_lists: int, seed: int = 42,
+                      iters: int = 12) -> np.ndarray:
+    """Deterministic spherical k-means (cosine metric): unit-normalize,
+    assign by max dot, centroid = renormalized mean. Pure numpy on a
+    driver-side training sample — the standard IVF coarse-quantizer
+    training regime (a few 10^4 samples train lists for 10^9+ vectors)."""
+    rng = np.random.default_rng([seed, n_lists, mat.shape[1]])
+    x = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    if len(cents) < n_lists:  # degenerate tiny input: pad with jitter
+        pad = cents[rng.integers(0, len(cents), n_lists - len(cents))]
+        cents = np.vstack([cents, pad + 1e-3 * rng.standard_normal(pad.shape)])
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(n_lists):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 1e-12:
+                    cents[j] = c / n
+    return cents.astype(np.float64)
+
+
+def build_ivf_index(spark, emb: DataFrame, index_dir: str, n_lists: int = 64,
+                    seed: int = 42, train_sample: int = 8192,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """IVF ANN index (the second scale-path family next to sign-LSH):
+    train a spherical-k-means coarse quantizer on a deterministic
+    driver-side sample, assign every vector to its nearest centroid
+    list (one mapInPandas matmul — the only Python stage), and
+    materialize the lists hive-partitioned by `list_id`. Queries read
+    only the n_probe nearest lists (partition pruning), so probe cost
+    is O(corpus / n_lists × n_probe), independent of corpus size."""
+    import pandas as pd
+
+    train = (
+        emb.orderBy(id_col).limit(train_sample)  # deterministic sample
+        .select(vec_col).toPandas()[vec_col]
+    )
+    mat = np.vstack(train.to_numpy()).astype(np.float64)
+    cents = _spherical_kmeans(mat, n_lists, seed)
+
+    def assign(batches):
+        for pdf in batches:
+            vecs = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(),
+                "list_id": (vecs @ cents.T).argmax(axis=1).astype(np.int32),
+            })
+
+    lists = emb.select(id_col, vec_col).mapInPandas(assign, schema="vec_id long, list_id int")
+    (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .join(lists, "vec_id")
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{index_dir}/ivf_lists")
+    )
+    cpdf = pd.DataFrame({
+        "list_id": np.arange(n_lists, dtype=np.int32),
+        "centroid": [c.tolist() for c in cents],
+    })
+    spark.createDataFrame(cpdf, "list_id int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/ivf_centroids")
+    return index_dir
+
+
+def ivf_probe_candidates(spark, index_dir: str, query_vec: list[float],
+                         n_probe: int = 4) -> DataFrame:
+    """Partition-pruned read of the n_probe nearest centroid lists."""
+    cents = spark.read.parquet(f"{index_dir}/ivf_centroids").orderBy("list_id").collect()
+    C = np.array([r.centroid for r in cents])
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(i) for i in (C @ q).argsort()[::-1][:n_probe]]
+    return spark.read.parquet(f"{index_dir}/ivf_lists").filter(F.col("list_id").isin(probes))
+
+
+def ivf_cosine_topk(spark, index_dir: str, query_vec: list[float], k: int = 10,
+                    n_probe: int = 4, exclude_id: int | None = None) -> DataFrame:
+    """Approximate top-k against the IVF index: exact cosine rescore
+    over the probed lists only."""
+    cand = ivf_probe_candidates(spark, index_dir, query_vec, n_probe)
+    scored = cosine_scores(cand, query_vec)
+    if exclude_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_id)
+    return _ranked_topk(scored, k)
+
+
 def hashed_embeddings(docs: DataFrame, dim: int = 32, tokens_col: str = "tokens") -> DataFrame:
     """(doc_id, emb array<double>): deterministic feature-hashing text
     embedding — each token hashes to a bucket (md5-derived 60-bit hash

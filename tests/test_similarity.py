@@ -153,3 +153,54 @@ def test_hashed_embedding_query_doc_agreement(spark):
     cand = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2]}))
     out = similarity.semantic_rerank(d2, cand, ["alpha", "beta", "beta", "gamma"], dim=16, k=2).collect()
     assert out[0].doc_id == 1 and out[0].cos == 1.0 and out[0].rank == 1
+
+
+def test_ivf_index_recall_and_pruning(spark, tmp_path):
+    """IVF family (coarse-quantizer lists): recall on clustered data,
+    result parity with brute force at full probe, partition pruning on
+    list_id, and deterministic rebuilds."""
+    from mantic_sh_spark.plans.explain import explain_str
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 24))
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(30):
+            v = centers[c] + 0.12 * rng.standard_normal(24)
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(spark, df, idx, n_lists=6, seed=42, train_sample=180)
+
+    ids = np.array([r[0] for r in rows])
+    mat = np.array([r[1] for r in rows])
+    q = mat[0]
+    exact = {d for d, _ in _np_topk(ids, mat, q, 10, exclude=0)}
+    approx = {
+        r.vec_id
+        for r in similarity.ivf_cosine_topk(spark, idx, q.tolist(), k=10, n_probe=2,
+                                            exclude_id=0).collect()
+    }
+    assert len(exact & approx) / 10 >= 0.8
+
+    # full probe == exact brute force (IVF partitions the corpus)
+    full = [
+        (r.vec_id, r.cos)
+        for r in similarity.ivf_cosine_topk(spark, idx, q.tolist(), k=10, n_probe=6,
+                                            exclude_id=0).orderBy("rank").collect()
+    ]
+    assert full == _np_topk(ids, mat, q, 10, exclude=0)
+
+    plan = explain_str(similarity.ivf_probe_candidates(spark, idx, q.tolist(), n_probe=2))
+    assert "PartitionFilters" in plan
+    assert "list_id" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+    # deterministic rebuild: identical list assignment
+    idx2 = str(tmp_path / "ivf2")
+    similarity.build_ivf_index(spark, df.repartition(5), idx2, n_lists=6, seed=42,
+                               train_sample=180)
+    a = {r.vec_id: r.list_id for r in spark.read.parquet(f"{idx}/ivf_lists").collect()}
+    b = {r.vec_id: r.list_id for r in spark.read.parquet(f"{idx2}/ivf_lists").collect()}
+    assert a == b
