@@ -343,21 +343,44 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     names = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
              "doc_gaps", "tfs", "dls"]
     if with_positions:
-        # within-posting position deltas in RAW token space (first value
-        # of each posting run is the absolute position), one varint
-        # buffer sliced by each block's raw-row bounds
-        pos = tbl.column("pos").to_numpy()
-        pgaps = np.empty(n, dtype=np.int64)
-        pgaps[0] = pos[0]
-        np.subtract(pos[1:], pos[:-1], out=pgaps[1:])
-        pgaps[pstarts] = pos[pstarts]
-        nbytes = varint_nbytes(pgaps)
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(nbytes, out=offsets[1:])
-        buf = varint_encode(pgaps)
-        pstarts_ext = np.append(pstarts, n)
-        rs = pstarts_ext[bs_p]
-        re = pstarts_ext[be_p]
+        # per-posting position deltas (first value of each posting run
+        # is the absolute position), one varint buffer for the whole
+        # batch sliced by each block's flat-position bounds
+        if "tf" in tbl.schema.names:
+            # pre-aggregated rows: positions arrive as an int-ARRAY
+            # column per posting — flatten keeps per-row order, and
+            # posting j owns flat[off[j]:off[j+1]] with off = cumsum(tf)
+            parr = tbl.column("positions").combine_chunks()
+            if isinstance(parr, pa.ChunkedArray):
+                parr = parr.chunk(0) if parr.num_chunks == 1 else pa.concat_arrays(parr.chunks)
+            flat = parr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            off = np.zeros(len(tf) + 1, dtype=np.int64)
+            np.cumsum(tf, out=off[1:])
+            pgaps = np.empty(len(flat), dtype=np.int64)
+            pgaps[0] = flat[0]
+            np.subtract(flat[1:], flat[:-1], out=pgaps[1:])
+            pgaps[off[:-1]] = flat[off[:-1]]
+            nbytes = varint_nbytes(pgaps)
+            offsets = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(nbytes, out=offsets[1:])
+            buf = varint_encode(pgaps)
+            rs = off[bs_p]
+            re = off[be_p]
+        else:
+            # occurrence rows: one `pos` per raw row; posting runs are
+            # the pstarts segmentation
+            pos = tbl.column("pos").to_numpy()
+            pgaps = np.empty(n, dtype=np.int64)
+            pgaps[0] = pos[0]
+            np.subtract(pos[1:], pos[:-1], out=pgaps[1:])
+            pgaps[pstarts] = pos[pstarts]
+            nbytes = varint_nbytes(pgaps)
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(nbytes, out=offsets[1:])
+            buf = varint_encode(pgaps)
+            pstarts_ext = np.append(pstarts, n)
+            rs = pstarts_ext[bs_p]
+            re = pstarts_ext[be_p]
         arrays.append(
             pa.array([buf[a:b] for a, b in zip(offsets[rs].tolist(), offsets[re].tolist())],
                      pa.binary())
