@@ -150,3 +150,48 @@ def bm25f_topk(
     b: float = B,
 ) -> DataFrame:
     return rank_topk(bm25f_scores(docs, query_terms_df(spark, queries), fields, k1, b), k)
+
+
+def tiered_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    tier_fields: list[str],
+    k: int = 10,
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(query_id, doc_id, tier, score, rank): R1 exact-match tiers as an
+    OPT-IN ranking mode (reference: the tier ladder that puts exact
+    filename matches above path matches above content scores,
+    src/brain-scorer.ts:226-253 — "exact title match wins"). tier i =
+    the doc's i-th tier field (a token-array column, e.g. url tokens,
+    then a title window) contains ALL query terms; docs matching no
+    tier field rank in the final tier. Within a tier, BM25 order; the
+    BM25 rank-identity path is untouched (this is a separate mode).
+
+    Catalyst containment check: size(array_except(qterms, field)) == 0
+    — JVM-side, no UDF; the tier column costs one projection."""
+    qterms = query_terms_df(spark, queries)
+    scores = bm25_scores(docs, qterms, k1, b)
+    qsets = (
+        qterms.groupBy("query_id").agg(F.array_sort(F.collect_set("term")).alias("qset"))
+    )
+    fields_df = docs.select(
+        "doc_id", *[F.col(c).alias(f"_tier{i}") for i, c in enumerate(tier_fields)]
+    )
+    joined = scores.join(F.broadcast(qsets), "query_id").join(fields_df, "doc_id")
+    tier = F.lit(len(tier_fields))
+    for i in range(len(tier_fields) - 1, -1, -1):
+        tier = F.when(
+            F.size(F.array_except(F.col("qset"), F.col(f"_tier{i}"))) == 0, F.lit(i)
+        ).otherwise(tier)
+    tiered = joined.withColumn("tier", tier).withColumn("score", F.round("score", SCORE_DECIMALS))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("tier"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        tiered.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "doc_id", "tier", "score", "rank")
+    )

@@ -977,6 +977,55 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_tiered_rank(spark, sf_dir):
+    """R1 exact-match tiers under the oracle gate (opt-in mode): tier 0
+    = ALL query terms inside the title window (first 8 tokens), tier 1
+    = inside the lead window (first 30), tier 2 = body-only; BM25 order
+    within a tier (reference tier ladder, src/brain-scorer.ts:226-253)."""
+    from ..operators.query import tiered_topk
+
+    d = (
+        _docs_tok(spark, sf_dir)
+        .withColumn("title_tokens", F.slice("tokens", 1, 8))
+        .withColumn("lead_tokens", F.slice("tokens", 1, 30))
+    )
+    res = tiered_topk(spark, d, [(0, BM25_QUERY)],
+                      tier_fields=["title_tokens", "lead_tokens"], k=10)
+    return res.select("doc_id", F.col("tier").cast("int").alias("tier"), "score")
+
+
+def _sql_tiered_rank() -> str:
+    from ..functions.tokenize import tokenize_query
+
+    qset = sorted(set(tokenize_query(BM25_QUERY)))
+    qlit = "[" + ", ".join(f"'{t}'" for t in qset) + "]"
+    return f"""
+WITH tok AS (SELECT doc_id, unnest({TOK}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl) AS avgdl FROM dl),
+q AS (SELECT DISTINCT 0 AS query_id, unnest(list_filter(string_split_regex(lower('{BM25_QUERY}'), '[^a-z0-9]+'), t -> t <> '')) AS term),
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         sum( ln((stats.n_docs - dft.df + 0.5)/(dft.df + 0.5) + 1.0)
+            * tf.tf * (1.2 + 1.0) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS score
+  FROM tf JOIN q USING(term) JOIN dft USING(term) JOIN dl USING(doc_id) CROSS JOIN stats
+  GROUP BY 1),
+tiers AS (
+  SELECT doc_id,
+         CASE WHEN list_has_all(({TOK})[1:8], {qlit}) THEN 0
+              WHEN list_has_all(({TOK})[1:30], {qlit}) THEN 1
+              ELSE 2 END AS tier
+  FROM documents),
+ranked AS (
+  SELECT sc.doc_id, tiers.tier, round(sc.score, 4) AS score,
+         row_number() OVER (ORDER BY tiers.tier ASC, round(sc.score, 4) DESC, sc.doc_id ASC) AS rn
+  FROM sc JOIN tiers USING (doc_id))
+SELECT doc_id, CAST(tier AS INTEGER) AS tier, score FROM ranked WHERE rn <= 10
+"""
+
+
 def q_semantic_rerank(spark, sf_dir):
     """R15 end-to-end under the oracle gate: BM25 top-50 candidates →
     deterministic feature-hashing embeddings (md5 60-bit buckets, ±1
@@ -1056,6 +1105,7 @@ REGISTRY: dict[str, tuple] = {
     "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "semantic_rerank": (q_semantic_rerank, _sql_semantic_rerank()),
+    "tiered_rank": (q_tiered_rank, _sql_tiered_rank()),
     "fuzzy_closest": (q_fuzzy_closest, SQL_FUZZY_CLOSEST),
     "doc_classify": (q_doc_classify, SQL_DOC_CLASSIFY),
     "token_positions": (q_token_positions, SQL_TOKEN_POSITIONS),
