@@ -228,22 +228,29 @@ def main(argv: list[str] | None = None) -> int:
             )
         else:
             from .functions.tokenize import tokens_col
-            from .operators.delete import live_docs
-            from .operators.query import bm25_topk, bm25f_topk
+            from .operators.delete import tombstone_df
+            from .operators.query import bm25_scores, bm25f_scores, query_terms_df, rank_topk
             from .sources.catalog import IndexPaths
 
+            # tombstone parity with wand/phrase's pre-purge contract:
+            # score over ALL docs (df/avgdl identical to the index's
+            # stale-until-purge collection stats), then drop dead docs
+            # from the RESULTS before ranking — filtering the corpus
+            # first would shift idf/avgdl and diverge from the index
             docs = spark.read.parquet(f"{args.index}/docs").withColumn("tokens", tokens_col("text"))
-            # tombstone parity with wand/phrase: score only live docs
-            docs = live_docs(docs, spark, IndexPaths(args.index))
+            qterms = query_terms_df(spark, queries)
             if args.engine == "bm25f":
                 # opt-in field-weighted mode: url tokens boost (R4),
                 # off the rank-identity path by design
                 docs = docs.withColumn("url_tokens", tokens_col("url"))
-                res = bm25f_topk(spark, docs, queries,
-                                 fields=[("tokens", 1.0), ("url_tokens", args.url_weight)],
-                                 k=args.k)
+                scores = bm25f_scores(docs, qterms,
+                                      fields=[("tokens", 1.0), ("url_tokens", args.url_weight)])
             else:
-                res = bm25_topk(spark, docs, queries, k=args.k)
+                scores = bm25_scores(docs, qterms)
+            dead = tombstone_df(spark, IndexPaths(args.index))
+            if dead is not None:
+                scores = scores.join(dead, "doc_id", "left_anti")
+            res = rank_topk(scores, k=args.k)
         docs_tbl = spark.read.parquet(f"{args.index}/docs").select("doc_id", "url")
         from pyspark.sql import functions as F
 

@@ -35,16 +35,27 @@ from ..sources.catalog import IndexPaths, append_manifest, read_or_none
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
 
 
-def _purge_docs_and_stats(spark, paths, srcs, purge_df) -> None:
-    """Make deletes real: drop purged rows from the src segments' docs
-    dirs, re-baseline collection_stats over the remaining norms, and
-    clear the satisfied tombstones. All id-set filters are ANTI-JOINS
-    against the purge DataFrame — no id list ever reaches the driver or
-    an expression tree, so a 10^8-tombstone purge plans the same as a
-    10-tombstone one."""
+def _purge_docs_and_stats(spark, paths, purge_df) -> None:
+    """Make deletes real: drop purged rows from the docs dirs that hold
+    them, re-baseline collection_stats over the remaining norms, and
+    clear the satisfied tombstones. Docs dirs never move across merges,
+    so the dirs to rewrite come from the purged ids' ORIGINAL segments
+    (doc_id DIV stride), not from the merge's src postings segments.
+    All id-set filters are ANTI-JOINS against the purge DataFrame — no
+    id list ever reaches the driver or an expression tree, so a
+    10^8-tombstone purge plans the same as a 10-tombstone one (the
+    dir list itself is one tiny distinct per original segment)."""
     import pandas as pd
 
-    for seg in srcs:
+    from .docs import SEG_STRIDE
+
+    doc_segs = [
+        int(r.s)
+        for r in purge_df.select(
+            F.expr(f"CAST(doc_id DIV {SEG_STRIDE} AS INT)").alias("s")
+        ).distinct().collect()
+    ]
+    for seg in doc_segs:
         src_dir = f"{paths.docs}/segment_id={int(seg)}"
         remaining = read_or_none(spark, src_dir)
         if remaining is None:
@@ -110,7 +121,10 @@ def maybe_compact(
     by_size = sorted(segs, key=lambda s: (sizes.get(s, 0), s))
     n_fold = max(2, len(segs) - max_segments + 1)
     victims = by_size[:n_fold]
-    dst = max(segs) + 1
+    # fresh dst id must clear BOTH tables' dirs: docs dirs keep their
+    # original ids across compactions, so extends allocate from the
+    # same combined max — never reuse either side's id space
+    dst = max(segs + _list_segments(spark, paths.docs)) + 1
     return merge_segments(spark, index_dir, victims, dst_segment=dst,
                           compact=True, purge=True, k1=k1, b=b)
 
@@ -146,23 +160,40 @@ def merge_segments(
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
     avgdl = float(stats.avgdl)
 
-    # tombstones owned by the source segments (doc-id ranges are
-    # segment-striped, so ownership is integer division by the stride).
-    # purge_df is the plan-side form (anti-joins); purge_ids is the
-    # in-task liveness array the streaming compactor ships — bounded
-    # use, see delete.tombstone_ids.
+    # tombstones owned by the source segments. Ownership comes from the
+    # NORMS table: norms rows MOVE with merges (docs rows never do), so
+    # norms/segment_id=s lists exactly the doc ids whose postings live
+    # in segment s — correct across any number of compaction
+    # generations, where doc_id DIV STRIDE only names the ORIGINAL
+    # segment (review r2 finding). purge_df is the plan-side form
+    # (anti-joins); purge_ids is the in-task liveness array the
+    # streaming compactor ships — bounded use, see delete.tombstone_ids.
     purge_ids = np.empty(0, dtype=np.int64)
     purge_df = None
+    purge_stage = f"{paths.root}/purge_ids_tmp"
     if purge and compact:
-        from .docs import SEG_STRIDE
         from .delete import tombstone_df
 
         t = tombstone_df(spark, paths)
         if t is not None:
-            owned = t.filter(F.expr(f"CAST(doc_id DIV {SEG_STRIDE} AS INT)").isin(srcs))
-            purge_ids = owned.toPandas()["doc_id"].to_numpy(dtype=np.int64, copy=True)
-            purge_ids.sort()
-            purge_df = owned if len(purge_ids) else None
+            norms_all = spark.read.parquet(paths.norms)
+            src_norms = norms_all.filter(F.col("segment_id").isin(srcs)).select("doc_id")
+            owned = t.join(src_norms, "doc_id", "left_semi")
+            # orphan tombstones (ids with no norms row anywhere — the
+            # doc never existed or was already purged) are vacuously
+            # satisfied: clear them at any purge so they can't
+            # accumulate unboundedly
+            orphans = t.join(norms_all.select("doc_id"), "doc_id", "left_anti")
+            # STAGE the owned set before any mutation: the lazy plan
+            # reads the src segments' norms partitions, which this merge
+            # moves below — consumers after that point must read the
+            # staged copy, not re-execute the plan
+            _delete_path(spark, purge_stage)
+            owned.unionByName(orphans).write.mode("overwrite").parquet(purge_stage)
+            purge_df = read_or_none(spark, purge_stage)
+            if purge_df is not None:
+                purge_ids = purge_df.toPandas()["doc_id"].to_numpy(dtype=np.int64, copy=True)
+                purge_ids.sort()
 
     raw = spark.read.parquet(paths.postings)
     has_positions = "positions" in raw.columns
@@ -247,7 +278,6 @@ def merge_segments(
     # dst inherits the MIN src build_avgdl (wand takes the per-segment
     # min, so the inflation factor stays an upper bound whether or not
     # the blocks were re-encoded at the current avgdl)
-    from ..sources.catalog import read_or_none
 
     mn = None
     manifest = read_or_none(spark, paths.manifest)
@@ -266,7 +296,8 @@ def merge_segments(
         mn = avgdl if mn is None else min(float(mn), avgdl)
 
     if purge_df is not None:
-        _purge_docs_and_stats(spark, paths, srcs, purge_df)
+        _purge_docs_and_stats(spark, paths, purge_df)
+    _delete_path(spark, purge_stage)
 
     append_manifest(
         spark,

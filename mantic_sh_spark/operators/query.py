@@ -177,16 +177,30 @@ def tiered_topk(
     qsets = (
         qterms.groupBy("query_id").agg(F.array_sort(F.collect_set("term")).alias("qset"))
     )
+    # tier assignment runs over ALL docs (broadcast query sets, one
+    # JVM pass) and FULL-OUTER-joins the BM25 scores: a doc whose tier
+    # field contains every query term surfaces even when its body
+    # tokens match none (score 0) — e.g. url-only matches — and docs
+    # matching no tier field land in the final tier with their score
     fields_df = docs.select(
         "doc_id", *[F.col(c).alias(f"_tier{i}") for i, c in enumerate(tier_fields)]
     )
-    joined = scores.join(F.broadcast(qsets), "query_id").join(fields_df, "doc_id")
+    tiers_all = fields_df.crossJoin(F.broadcast(qsets))
     tier = F.lit(len(tier_fields))
     for i in range(len(tier_fields) - 1, -1, -1):
         tier = F.when(
             F.size(F.array_except(F.col("qset"), F.col(f"_tier{i}"))) == 0, F.lit(i)
         ).otherwise(tier)
-    tiered = joined.withColumn("tier", tier).withColumn("score", F.round("score", SCORE_DECIMALS))
+    matched = (
+        tiers_all.withColumn("tier", tier)
+        .filter(F.col("tier") < len(tier_fields))
+        .select("query_id", "doc_id", "tier")
+    )
+    tiered = (
+        scores.join(matched, ["query_id", "doc_id"], "full_outer")
+        .withColumn("tier", F.coalesce(F.col("tier"), F.lit(len(tier_fields))))
+        .withColumn("score", F.round(F.coalesce(F.col("score"), F.lit(0.0)), SCORE_DECIMALS))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.asc("tier"), F.desc("score"), F.asc("doc_id")
     )

@@ -301,9 +301,14 @@ def hashed_embeddings(docs: DataFrame, dim: int = 32, tokens_col: str = "tokens"
         )
     )
     norm = F.sqrt(F.aggregate("raw", F.lit(0.0), lambda a, x: a + x * x))
+    # zero-norm guard (all bucket sums cancel): keep the zero vector —
+    # same contract as hash_embed_query; dividing would yield NaNs that
+    # sort ABOVE every real cosine under desc ordering
     return dense.select(
         "doc_id",
-        F.transform("raw", lambda x: x / norm).alias("emb"),
+        F.when(norm > 0, F.transform("raw", lambda x: x / norm))
+        .otherwise(F.col("raw"))
+        .alias("emb"),
     )
 
 

@@ -1061,7 +1061,9 @@ vec AS (SELECT doc_id, bucket, sum(sgn) AS v FROM hb GROUP BY 1, 2),
 nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM vec GROUP BY 1),
 qv AS (SELECT * FROM (VALUES {qvals}) AS t(bucket, qval)),
 dot AS (SELECT vec.doc_id, sum(vec.v * qv.qval) AS d FROM vec JOIN qv USING(bucket) GROUP BY 1),
-cs AS (SELECT nrm.doc_id, round(coalesce(dot.d, 0.0) / nrm.n, 4) AS cos
+cs AS (SELECT nrm.doc_id,
+              round(CASE WHEN nrm.n = 0 THEN 0.0
+                         ELSE coalesce(dot.d, 0.0) / nrm.n END, 4) AS cos
        FROM nrm LEFT JOIN dot ON nrm.doc_id = dot.doc_id),
 ranked AS (SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn FROM cs)
 SELECT doc_id, cos FROM ranked WHERE rn <= 10

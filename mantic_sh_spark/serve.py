@@ -90,15 +90,23 @@ class IndexReader:
         if t is not None and t.num_rows:
             self.dead = np.unique(t.column("doc_id").to_numpy())
 
-        self._postings = ds.dataset(self.paths.postings, format="parquet",
-                                    partitioning="hive")
-        self._terms = ds.dataset(self.paths.terms, format="parquet",
-                                 partitioning="hive")
-        self._docs = ds.dataset(self.paths.docs, format="parquet",
-                                partitioning="hive")
+        # an empty-corpus index commits only collection_stats + manifest
+        # (no postings/terms/docs dirs) — serve it as empty, not a crash
+        self._postings = self._dataset_or_none(self.paths.postings)
+        self._terms = self._dataset_or_none(self.paths.terms)
+        self._docs = self._dataset_or_none(self.paths.docs)
         self._blocks_lru.clear()
         self._pos_lru.clear()
         self._df_cache.clear()
+
+    @staticmethod
+    def _dataset_or_none(path: str):
+        import pyarrow.dataset as ds
+
+        try:
+            return ds.dataset(path, format="parquet", partitioning="hive")
+        except FileNotFoundError:
+            return None
 
     @staticmethod
     def _read_optional(path: str, columns: list[str]):
@@ -117,53 +125,64 @@ class IndexReader:
 
         missing = sorted({t for t in terms if t not in self._df_cache})
         if missing:
-            tbl = self._terms.to_table(
-                filter=ds.field("term").isin(missing), columns=["term", "df"]
-            )
-            agg = tbl.to_pandas().groupby("term")["df"].sum()
-            for t in missing:
-                self._df_cache[t] = int(agg.get(t, 0))
+            if self._terms is None:
+                for t in missing:
+                    self._df_cache[t] = 0
+            else:
+                tbl = self._terms.to_table(
+                    filter=ds.field("term").isin(missing), columns=["term", "df"]
+                )
+                agg = tbl.to_pandas().groupby("term")["df"].sum()
+                for t in missing:
+                    self._df_cache[t] = int(agg.get(t, 0))
         return {t: self._df_cache[t] for t in terms}
 
-    def _blocks(self, terms: list[str]) -> dict[str, "object"]:
-        """term → pandas blocks frame (with segment_id), LRU-cached."""
+    def _fetch_blocks(self, lru: OrderedDict, columns: list[str],
+                      terms: list[str]) -> dict[str, "object"]:
+        """Shared LRU-cached block fetch (BM25 and positional paths
+        differ only in cache + column list): row-group-pruned read of
+        the missing terms, per-term grouping, negative caching for
+        absent terms, LRU eviction."""
         import pyarrow.dataset as ds
 
         out = {}
         missing = []
         for t in terms:
-            hit = self._blocks_lru.get(t)
+            hit = lru.get(t)
             if hit is not None:
-                self._blocks_lru.move_to_end(t)
+                lru.move_to_end(t)
                 out[t] = hit
             else:
                 missing.append(t)
         if missing:
             tbl = self._postings.to_table(
-                filter=ds.field("term").isin(missing),
-                columns=_POSTING_COLS + ["segment_id"],
+                filter=ds.field("term").isin(missing), columns=columns
             )
             pdf = tbl.to_pandas()
             found = set()
             for t, g in pdf.groupby("term"):
                 g = g.reset_index(drop=True)
-                self._blocks_lru[t] = g
+                lru[t] = g
                 out[t] = g
                 found.add(t)
             for t in missing:
                 if t not in found:
-                    self._blocks_lru[t] = pdf.iloc[0:0]
-                    out[t] = self._blocks_lru[t]
-            while len(self._blocks_lru) > self.max_hot_terms:
-                self._blocks_lru.popitem(last=False)
+                    lru[t] = pdf.iloc[0:0]
+                    out[t] = lru[t]
+            while len(lru) > self.max_hot_terms:
+                lru.popitem(last=False)
         return out
+
+    def _blocks(self, terms: list[str]) -> dict[str, "object"]:
+        """term → pandas blocks frame (with segment_id), LRU-cached."""
+        return self._fetch_blocks(self._blocks_lru, _POSTING_COLS + ["segment_id"], terms)
 
     def urls(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id → url via row-group-pruned docs reads (docs are
         sorted by doc_id within each segment partition)."""
         import pyarrow.dataset as ds
 
-        if not doc_ids:
+        if not doc_ids or self._docs is None:
             return {}
         tbl = self._docs.to_table(
             filter=ds.field("doc_id").isin(sorted(doc_ids)), columns=["doc_id", "url"]
@@ -187,6 +206,8 @@ class IndexReader:
 
         t0 = time.time()
         self.truncated = False
+        if self._postings is None:
+            return []
         terms = tokenize_query(query)
         dfs = self.df(terms)
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
@@ -216,41 +237,14 @@ class IndexReader:
 
     @property
     def has_positions(self) -> bool:
-        return "positions" in self._postings.schema.names
+        return self._postings is not None and "positions" in self._postings.schema.names
 
     def _pos_blocks(self, terms: list[str]) -> dict[str, "object"]:
         """term → blocks frame INCLUDING positions bytes (phrase path;
         cached separately from the BM25 hot set so non-phrase queries
         never hold position payloads in memory)."""
-        import pyarrow.dataset as ds
-
-        out = {}
-        missing = []
-        for t in terms:
-            hit = self._pos_lru.get(t)
-            if hit is not None:
-                self._pos_lru.move_to_end(t)
-                out[t] = hit
-            else:
-                missing.append(t)
-        if missing:
-            tbl = self._postings.to_table(
-                filter=ds.field("term").isin(missing),
-                columns=_POSTING_COLS + ["positions", "segment_id"],
-            )
-            pdf = tbl.to_pandas()
-            found = set()
-            for t, g in pdf.groupby("term"):
-                self._pos_lru[t] = g.reset_index(drop=True)
-                out[t] = self._pos_lru[t]
-                found.add(t)
-            for t in missing:
-                if t not in found:
-                    self._pos_lru[t] = pdf.iloc[0:0]
-                    out[t] = self._pos_lru[t]
-            while len(self._pos_lru) > self.max_hot_terms:
-                self._pos_lru.popitem(last=False)
-        return out
+        return self._fetch_blocks(self._pos_lru,
+                                  _POSTING_COLS + ["positions", "segment_id"], terms)
 
     def phrase_topk(self, phrase: str, k: int = 10, slop: int = 0) -> list[tuple[int, int]]:
         """[(doc_id, n_matches)] ranked (n_matches desc, doc_id asc) —
@@ -260,6 +254,7 @@ class IndexReader:
         from .functions.tokenize import tokenize
         from .operators.phrase import segment_phrase_matches
 
+        self.truncated = False
         if not self.has_positions:
             raise ValueError("phrase serving requires an index built with store_positions=True")
         terms = tokenize(phrase)  # ordered, repeats kept

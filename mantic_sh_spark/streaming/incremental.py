@@ -26,7 +26,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.docs import build_docs, collection_stats, doc_stats
+from ..operators.docs import build_docs, doc_stats
 from ..operators.index_build import build_postings_for_segments
 from ..sources.catalog import IndexPaths, append_manifest
 
@@ -50,8 +50,15 @@ def extend_index(
 
     existing_postings = read_or_none(spark, paths.postings)
     store_positions = existing_postings is not None and "positions" in existing_postings.columns
-    existing = spark.read.parquet(paths.docs)
-    seg_base = existing.agg(F.max("segment_id")).collect()[0][0] + 1
+    # fresh ids must clear BOTH tables' segment dirs: docs dirs keep
+    # their ORIGINAL ids across compactions while a compacted POSTINGS
+    # segment takes a new, higher id — allocating from the docs max
+    # alone would collide with it (review r2 finding)
+    from ..operators.index_build import _list_segments
+
+    seg_base = (
+        max(_list_segments(spark, paths.docs) + _list_segments(spark, paths.postings)) + 1
+    )
 
     t0 = time.time()
     new_docs = build_docs(new_pages, n_segments=n_new_segments, segment_offset=seg_base)
@@ -134,6 +141,9 @@ def upsert_pages(
     existing = live_docs(spark.read.parquet(paths.docs), spark, paths).select(
         "url", "doc_id", F.md5("text").alias("old_fp")
     )
+    # the pages ⋈ docs fingerprint join is the dominant cost and feeds
+    # FOUR consumers (counts, tombstone write, tombstone count, delta
+    # fold) — persist it so the join runs once per batch
     diff = (
         pages.withColumn("new_fp", F.md5("text"))
         .join(existing, "url", "left")
@@ -143,26 +153,30 @@ def upsert_pages(
             .when(F.col("old_fp") != F.col("new_fp"), F.lit("modified"))
             .otherwise(F.lit("unchanged")),
         )
+        .persist()
     )
-    counts = {r.status: r.n for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
-    out = {
-        "added": int(counts.get("added", 0)),
-        "modified": int(counts.get("modified", 0)),
-        "unchanged": int(counts.get("unchanged", 0)),
-        "segments": [],
-    }
-    if not (out["added"] or out["modified"]):
+    try:
+        counts = {r.status: r.n for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        out = {
+            "added": int(counts.get("added", 0)),
+            "modified": int(counts.get("modified", 0)),
+            "unchanged": int(counts.get("unchanged", 0)),
+            "segments": [],
+        }
+        if not (out["added"] or out["modified"]):
+            return out
+
+        from ..operators.delete import delete_docs_df
+
+        if out["modified"]:
+            delete_docs_df(
+                spark, index_dir, diff.filter(F.col("status") == "modified").select("doc_id")
+            )
+        delta = diff.filter(F.col("status") != "unchanged").select(*pages.columns)
+        out["segments"] = extend_index(spark, index_dir, delta, n_new_segments=n_new_segments)
         return out
-
-    from ..operators.delete import delete_docs_df
-
-    if out["modified"]:
-        delete_docs_df(
-            spark, index_dir, diff.filter(F.col("status") == "modified").select("doc_id")
-        )
-    delta = diff.filter(F.col("status") != "unchanged").select(*pages.columns)
-    out["segments"] = extend_index(spark, index_dir, delta, n_new_segments=n_new_segments)
-    return out
+    finally:
+        diff.unpersist()
 
 
 def stream_index(

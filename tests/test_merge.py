@@ -78,3 +78,85 @@ def test_compaction_defragments_and_preserves_results(spark, tmp_path):
     assert [(r.query_id, r.doc_id, r.score) for r in rw] == [
         (r.query_id, r.doc_id, r.score) for r in rx
     ]
+
+
+def test_purge_across_compaction_generations(spark, tmp_path):
+    """Review r2 findings 1+2: after a compaction (a) extend must NOT
+    reuse the compacted postings segment id, and (b) tombstones on docs
+    whose postings moved into the compacted segment must still purge —
+    ownership comes from norms (which move), not doc_id DIV stride
+    (which names the original segment); the docs-table rows must also
+    physically disappear even though docs dirs never move."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.operators.delete import delete_docs, tombstone_ids
+    from mantic_sh_spark.operators.index_build import _list_segments
+    from mantic_sh_spark.operators.wand import wand_topk
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    cfg = SynthConfig(n_docs=240, vocab_size=220, seed=91)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=3, chunk_size=64, block_size=16)
+    paths = IndexPaths(idx)
+
+    # generation 1: compact segments [0, 1] → fresh postings segment
+    dst1 = merge_segments(spark, idx, [0, 1], dst_segment=5,
+                          compact=True, purge=True)
+    assert dst1 == 5
+
+    # (a) extend must allocate PAST the compacted postings id even
+    # though docs dirs still end at segment 2
+    more = gen_pages(spark, replace(cfg, seed=92, n_docs=60, needle_every=0), partitions=2
+                     ).withColumn("url", F.regexp_replace("url", "example/", "example/g2/"))
+    new_segs = extend_index(spark, idx, more, n_new_segments=1)
+    assert min(new_segs) > dst1, f"segment id collision: {new_segs} vs dst {dst1}"
+
+    # (b) delete docs that ORIGINALLY lived in segment 0 (postings now
+    # in segment 5); purge-merge of [5] must clear them
+    victims = [
+        r.doc_id
+        for r in spark.read.parquet(paths.docs)
+        .filter(F.col("segment_id") == 0).select("doc_id").orderBy("doc_id").limit(20).collect()
+    ]
+    victim_urls = {r.url for r in spark.read.parquet(paths.docs)
+                   .filter(F.col("doc_id").isin(victims)).collect()}
+    delete_docs(spark, idx, doc_ids=victims)
+
+    merge_segments(spark, idx, [dst1], dst_segment=9, compact=True, purge=True)
+    assert len(tombstone_ids(spark, paths)) == 0, "tombstones must purge across generations"
+    remaining_ids = {r.doc_id for r in spark.read.parquet(paths.docs).select("doc_id").collect()}
+    assert not (remaining_ids & set(victims)), "purged docs rows must leave the docs table"
+    stats = spark.read.parquet(paths.collection_stats).collect()[0]
+    assert stats.n_docs == 240 + 60 - 20
+
+    # end state equals a fresh build over the surviving corpus (by url)
+    fresh = str(tmp_path / "fresh")
+    corpus = pages.filter(~F.col("url").isin(list(victim_urls))).unionByName(more)
+    build_index(spark, corpus, fresh, n_segments=2)
+    queries = gen_queries(cfg, n_queries=10)
+
+    def by_url(index_dir):
+        res = wand_topk(spark, index_dir, queries, k=5)
+        d = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        rows = res.join(d, "doc_id").orderBy("query_id", "rank").collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.url, r.score))
+        return out
+
+    def normalize(res):
+        out = {}
+        for qid, items in res.items():
+            scores = [s for _, s in items]
+            groups = {}
+            for u, s in items:
+                groups.setdefault(s, set()).add(u)
+            boundary = scores[-1]
+            out[qid] = (scores, {s: (us if s != boundary else len(us)) for s, us in groups.items()})
+        return out
+
+    assert normalize(by_url(idx)) == normalize(by_url(fresh))

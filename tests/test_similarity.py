@@ -204,3 +204,32 @@ def test_ivf_index_recall_and_pruning(spark, tmp_path):
     a = {r.vec_id: r.list_id for r in spark.read.parquet(f"{idx}/ivf_lists").collect()}
     b = {r.vec_id: r.list_id for r in spark.read.parquet(f"{idx2}/ivf_lists").collect()}
     assert a == b
+
+
+def test_hashed_embedding_zero_norm_guard(spark):
+    """A doc whose signed bucket counts fully cancel must embed to the
+    ZERO vector (cos 0), never NaN (NaN sorts above every real cosine
+    under desc ordering — review r2 finding)."""
+    from mantic_sh_spark.functions.tokenize import tokens_col
+
+    # find two tokens whose single-token dim-4 embeddings are exact
+    # negatives (same bucket, opposite sign) — deterministic search
+    vecs = {f"w{i}x": tuple(similarity.hash_embed_query([f"w{i}x"], 4)) for i in range(400)}
+    pair = None
+    for a, va in vecs.items():
+        for b, vb in vecs.items():
+            if a < b and all(x == -y for x, y in zip(va, vb)):
+                pair = (a, b)
+                break
+        if pair:
+            break
+    assert pair, "no cancelling token pair in search space"
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": [f"{pair[0]} {pair[1]}"]}))
+    d = df.withColumn("tokens", tokens_col("text", camel=False))
+    emb = similarity.hashed_embeddings(d, dim=4).collect()[0].emb
+    assert list(emb) == [0.0, 0.0, 0.0, 0.0]
+
+    cand = spark.createDataFrame(pd.DataFrame({"doc_id": [1]}))
+    out = similarity.semantic_rerank(d, cand, ["alpha"], dim=4, k=1).collect()
+    assert out[0].cos == 0.0  # not NaN
