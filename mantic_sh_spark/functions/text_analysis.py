@@ -57,6 +57,39 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return t.select("doc_id", F.round(q, 4).alias("quality"))
 
 
+def quality_filter(docs: DataFrame, min_tokens: int = 20, max_tokens: int = 100000,
+                   min_mean_word_len: float = 2.0, max_mean_word_len: float = 12.0,
+                   min_distinct_ratio: float = 0.1,
+                   min_stopword_ratio: float = 0.0) -> DataFrame:
+    """(doc_id, n_tokens, mean_word_len, distinct_ratio, stopword_ratio,
+    keep): Gopher-style quality FILTER rules for training-data curation
+    — hard bounds on length, mean word length, lexical diversity, and
+    stopword presence, each a pure Catalyst expression over the token
+    array. `keep` is the conjunction; callers filter or audit the
+    per-rule columns. (The scoring twin is quality_score; these are the
+    reject rules a 100 TB pre-training pipeline applies first.)"""
+    t = docs.withColumn("toks", _toks())
+    n = F.size("toks")
+    mean_wl = F.when(n > 0,
+                     F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x)) / n
+                     ).otherwise(F.lit(0.0))
+    dist = F.when(n > 0, F.size(F.array_distinct("toks")) / n).otherwise(F.lit(0.0))
+    stop = stopword_ratio_col(F.col("toks"))
+    keep = (
+        (n >= min_tokens) & (n <= max_tokens)
+        & (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+        & (dist >= min_distinct_ratio) & (stop >= min_stopword_ratio)
+    )
+    return t.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(dist, 4).alias("distinct_ratio"),
+        F.round(stop, 4).alias("stopword_ratio"),
+        keep.alias("keep"),
+    )
+
+
 def lang_id(docs: DataFrame, threshold: float = 0.03) -> DataFrame:
     """(doc_id, pred_lang): crude stopword-hit heuristic — 'en' when the
     English stopword ratio clears the threshold. (A real n-gram model

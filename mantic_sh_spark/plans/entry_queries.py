@@ -540,6 +540,37 @@ FROM m
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Gopher-style quality reject rules (training-data curation): hard
+    bounds on token count, mean word length, lexical diversity, and
+    stopword ratio — the filter op the 100 TB pipeline runs before any
+    modeling; per-rule columns kept for auditing."""
+    from ..functions.text_analysis import quality_filter
+
+    return quality_filter(_docs(spark, sf_dir), min_tokens=30,
+                          min_distinct_ratio=0.2, min_stopword_ratio=0.01)
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
+m AS (SELECT doc_id, len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks)) * 1.0 / len(toks) ELSE 0.0 END AS dist,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains({_SW}, x))) * 1.0 / len(toks)
+                  ELSE 0.0 END AS stop
+      FROM t)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(mwl, 4) AS mean_word_len,
+       round(dist, 4) AS distinct_ratio, round(stop, 4) AS stopword_ratio,
+       (n >= 30 AND n <= 100000 AND mwl >= 2.0 AND mwl <= 12.0
+        AND dist >= 0.2 AND stop >= 0.01) AS keep
+FROM m
+"""
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
@@ -1096,6 +1127,7 @@ REGISTRY: dict[str, tuple] = {
     "top_revenue": (q_top_revenue, SQL_TOP_REVENUE),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "rolling_fp": (q_rolling_fp, SQL_ROLLING_FP),
