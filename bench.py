@@ -290,16 +290,16 @@ def main() -> None:
     chi = run_phase("cluster", 4, f"{WORK}/idx_chi")
     cl_efficiency = (chi["docs_per_sec"] / clo["docs_per_sec"]) / 4.0
     # shuffle-free Spark-stage ceiling at the same core counts.
-    # best-of-two per level, interleaved: this VM's per-window noise is
-    # ±40%, and a single unlucky lo window makes the ceiling read >1.0
-    jlo = max(
-        (run_phase("jvmcal", LO_CPUS, f"{WORK}/idx_lo") for _ in range(2)),
-        key=lambda r: r["rows_per_sec"],
-    )
-    jhi = max(
-        (run_phase("jvmcal", HI_CPUS, f"{WORK}/idx_lo") for _ in range(2)),
-        key=lambda r: r["rows_per_sec"],
-    )
+    # best-of-two per level with lo/hi INTERLEAVED: this VM's noise
+    # comes in multi-minute windows, so two back-to-back lo samples can
+    # both land in a bad window and make the ceiling read >1.0;
+    # alternating pins each pair to the same window
+    jlo_runs, jhi_runs = [], []
+    for _ in range(2):
+        jlo_runs.append(run_phase("jvmcal", LO_CPUS, f"{WORK}/idx_lo"))
+        jhi_runs.append(run_phase("jvmcal", HI_CPUS, f"{WORK}/idx_lo"))
+    jlo = max(jlo_runs, key=lambda r: r["rows_per_sec"])
+    jhi = max(jhi_runs, key=lambda r: r["rows_per_sec"])
     jvm_ceiling = (jhi["rows_per_sec"] / jlo["rows_per_sec"]) / (HI_CPUS / LO_CPUS)
     ceiling = _machine_ceiling(LO_CPUS, HI_CPUS)
     membw = _memory_bandwidth(LO_CPUS, HI_CPUS)
