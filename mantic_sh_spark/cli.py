@@ -49,6 +49,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="derive text from the html column (pinned byte-identical extraction)")
     b.add_argument("--positions", action="store_true",
                    help="store within-doc positions (enables --engine phrase)")
+    b.add_argument("--term-dict", action="store_true",
+                   help="also materialize the (term, tid, df) vocabulary sidecar "
+                        "(fuzzy expansion; otherwise built on first fuzzy query)")
 
     e = sub.add_parser("extend", help="fold new pages into an existing index")
     e.add_argument("--index", required=True)
@@ -96,6 +99,13 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--index", required=True)
     sv.add_argument("--log-dir", default=None,
                     help="persist session query history as a parquet table (S9)")
+    sv.add_argument("--concurrency", type=int, default=1,
+                    help="query worker threads (IndexReader is thread-safe)")
+
+    mc = sub.add_parser("mcp", help="MCP stdio server (JSON-RPC; search_files tool "
+                                    "backed by the long-lived reader — see "
+                                    "mantic_sh_spark/mcp.py)")
+    mc.add_argument("--index", required=True)
 
     args = p.parse_args(argv)
 
@@ -103,8 +113,16 @@ def main(argv: list[str] | None = None) -> int:
         # serving replicas read the committed parquet directly — no JVM
         from .serve import serve_loop
 
-        served = serve_loop(args.index, log_dir=args.log_dir)
+        served = serve_loop(args.index, log_dir=args.log_dir,
+                            concurrency=args.concurrency)
         print(json.dumps({"served": served}), file=sys.stderr)
+        return 0
+
+    if args.cmd == "mcp":
+        from .mcp import serve_stdio
+
+        handled = serve_stdio(args.index)
+        print(json.dumps({"handled": handled}), file=sys.stderr)
         return 0
 
     if args.cmd == "synth":
@@ -123,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
         build_index(spark, pages, args.index, n_segments=args.segments,
                     batch_segments=args.batch_segments, extract=args.extract,
                     store_positions=args.positions)
+        if args.term_dict:
+            from .operators.index_build import build_term_dictionary
+
+            build_term_dictionary(spark, args.index)
         print(json.dumps(index_stats(spark, args.index)))
 
     elif args.cmd == "extend":
@@ -180,22 +202,41 @@ def main(argv: list[str] | None = None) -> int:
                                   slop=plan.slop).withColumn("score", F.col("n_matches").cast("double"))
             elif engine == "bm25f":
                 from .functions.tokenize import tokens_col
-                from .operators.delete import live_docs
-                from .operators.query import bm25f_topk
+                from .operators.delete import tombstone_df
+                from .operators.query import bm25f_scores, query_terms_df, rank_topk
                 from .sources.catalog import IndexPaths
 
+                # same tombstone semantics as the explicit --engine
+                # bm25f route (pre-purge parity contract): score over
+                # ALL docs — df/avgdl match the index's stale-until-
+                # purge collection stats — then drop dead ids from the
+                # RESULTS; pre-filtering the corpus would shift idf/
+                # avgdl and make the two routes rank differently
                 docs = spark.read.parquet(f"{args.index}/docs").withColumn(
                     "tokens", tokens_col("text")).withColumn("url_tokens", tokens_col("url"))
-                docs = live_docs(docs, spark, IndexPaths(args.index))
-                res = bm25f_topk(spark, docs, [(0, " ".join(plan.terms))],
-                                 fields=[("tokens", 1.0), ("url_tokens", args.url_weight)],
-                                 k=args.k)
+                scores = bm25f_scores(docs, query_terms_df(spark, [(0, " ".join(plan.terms))]),
+                                      fields=[("tokens", 1.0), ("url_tokens", args.url_weight)])
+                dead = tombstone_df(spark, IndexPaths(args.index))
+                if dead is not None:
+                    scores = scores.join(dead, "doc_id", "left_anti")
+                res = rank_topk(scores, k=args.k)
             else:
                 from .operators.wand import wand_topk
 
                 terms = list(plan.terms)
-                for ft in plan.fuzzy_terms:
-                    terms.extend(expand_fuzzy_term(args.index, ft))
+                if plan.fuzzy_terms:
+                    try:
+                        for ft in plan.fuzzy_terms:
+                            terms.extend(expand_fuzzy_term(args.index, ft))
+                    except FileNotFoundError:
+                        # first fuzzy query against this index: build the
+                        # vocabulary sidecar once (deliberately not part
+                        # of the index build hot path), then expand
+                        from .operators.index_build import build_term_dictionary
+
+                        build_term_dictionary(spark, args.index)
+                        for ft in plan.fuzzy_terms:
+                            terms.extend(expand_fuzzy_term(args.index, ft))
                 engine = "wand"
                 res = wand_topk(spark, args.index, [(0, " ".join(terms))], k=args.k)
             rows = res.join(F.broadcast(

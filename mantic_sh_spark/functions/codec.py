@@ -272,30 +272,29 @@ def encode_groups(
 # imports — worker cold-start is a measurable serial cost per stage.
 def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
                  with_positions: bool = False, chunk_size: int = 1 << 14):
-    """Encode a sorted run of COMPLETE (term, segment, salt) groups of
+    """Encode a sorted run of COMPLETE (tid, segment, salt) groups of
     raw token rows into block rows — fully vectorized, zero pandas.
 
-    Input rows are sorted by (term, doc_id) — segment and salt are
+    `tid` is the dictionary-encoded term key (xxhash64 of the term
+    string, computed Catalyst-side before the wide shuffle): the build
+    never ships term STRINGS through its shuffle — an int64 key
+    shuffles/sorts for a fraction of the bytes and compares in one
+    instruction, and the term→string mapping lives in the (vocabulary-
+    sized) terms directory instead of on every posting row.
+
+    Input rows are sorted by (tid, doc_id) — segment and salt are
     derived vectorized from doc_id (segment = id div SEG_STRIDE, salt =
     rank-in-segment div chunk_size), so they never travel as shuffle
-    columns; the (term, doc_id) order IS the (term, segment, salt,
+    columns; the (tid, doc_id) order IS the (tid, segment, salt,
     doc_id) order because both are monotone in doc_id. With a `tf`
     column, rows are pre-aggregated postings (the doc-local combine
     path); without it, rows are occurrences and tf falls out of a
-    run-length pass.
-
-    Operating on Arrow directly matters: converting ~10^7 term strings
-    per task to pandas objects is allocator-bound and anti-scales with
-    executor threads; pyarrow.compute string comparisons stay in C++
-    buffers and the output term column is a `take` of the input."""
+    run-length pass."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     n = tbl.num_rows
-    term = tbl.column("term").combine_chunks()
-    if isinstance(term, pa.ChunkedArray):
-        term = term.chunk(0) if term.num_chunks == 1 else pa.concat_arrays(term.chunks)
+    tid = tbl.column("tid").to_numpy()
     doc = tbl.column("doc_id").to_numpy()
     seg = doc // SEG_STRIDE
     salt = (doc % SEG_STRIDE) // chunk_size
@@ -303,9 +302,7 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
 
     gchanged = np.empty(n, dtype=bool)
     gchanged[0] = True
-    gchanged[1:] = pc.not_equal(term.slice(1), term.slice(0, n - 1)).to_numpy(
-        zero_copy_only=False
-    )
+    gchanged[1:] = tid[1:] != tid[:-1]
     gchanged[1:] |= (seg[1:] != seg[:-1]) | (salt[1:] != salt[:-1])
     grows = np.flatnonzero(gchanged)
     if "tf" in tbl.schema.names:
@@ -330,7 +327,7 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     be_p = enc.pop("p_end")
     tidx = grows[gi]
     arrays = [
-        pc.take(term, pa.array(tidx)),
+        pa.array(tid[tidx].astype(np.int64)),
         pa.array(seg[tidx].astype(np.int32)),
         pa.array(np.asarray(enc["first_doc"], dtype=np.int64)),
         pa.array(np.asarray(enc["last_doc"], dtype=np.int64)),
@@ -340,7 +337,7 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
         pa.array(enc["tfs"], pa.binary()),
         pa.array(enc["dls"], pa.binary()),
     ]
-    names = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
+    names = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
              "doc_gaps", "tfs", "dls"]
     if with_positions:
         # per-posting position deltas (first value of each posting run
@@ -408,7 +405,7 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarra
 def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
                       dead=None, with_positions: bool = False):
     """mapInArrow block compactor for segment merges: input is block
-    rows sorted by (term, first_doc) within each partition. Full blocks
+    rows sorted by (tid, first_doc) within each partition. Full blocks
     PASS THROUGH without decode; undersized blocks (chunk/segment tails)
     buffer into a per-term leftover that re-emits full blocks greedily.
     Memory is O(block_size) regardless of term frequency — a stop term
@@ -426,9 +423,9 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
 
         dead_arr = None if dead is None or not len(dead) else np.asarray(dead, dtype=np.int64)
 
-        cols = ["term", "segment_id", "first_doc", "last_doc", "block_max", "n",
+        cols = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
                 "doc_gaps", "tfs", "dls"] + (["positions"] if with_positions else [])
-        cur_term = None
+        cur_tid = None
         cur_seg = 0
         buf_d: list = []  # leftover decoded postings for cur_term
         buf_t: list = []
@@ -459,7 +456,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     d[:take], t[:take], l[:take], avgdl, k1, b, block_size,
                     positions_flat=pflat[:ptake] if with_positions else None,
                 ):
-                    out["term"].append(cur_term)
+                    out["tid"].append(cur_tid)
                     out["segment_id"].append(cur_seg)
                     out["first_doc"].append(bl.first_doc)
                     out["last_doc"].append(bl.last_doc)
@@ -478,11 +475,11 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
 
         def flush_out():
             nonlocal out
-            if not out["term"]:
+            if not out["tid"]:
                 return None
             rb = pa.RecordBatch.from_arrays(
                 [
-                    pa.array(out["term"], pa.string()),
+                    pa.array(out["tid"], pa.int64()),
                     pa.array(out["segment_id"], pa.int32()),
                     pa.array(out["first_doc"], pa.int64()),
                     pa.array(out["last_doc"], pa.int64()),
@@ -499,7 +496,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
             return rb
 
         for rb in batches:
-            terms = rb.column("term").to_pylist()
+            tids = rb.column("tid").to_numpy()
             segs = rb.column("segment_id").to_numpy()
             firsts = rb.column("first_doc").to_numpy()
             lasts = rb.column("last_doc").to_numpy()
@@ -510,9 +507,9 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
             dls_b = rb.column("dls").to_pylist()
             pos_b = rb.column("positions").to_pylist() if with_positions else None
             for i in range(rb.num_rows):
-                if terms[i] != cur_term:
+                if tids[i] != cur_tid:
                     emit_from_buffer(final=True)
-                    cur_term = terms[i]
+                    cur_tid = int(tids[i])
                     cur_seg = int(segs[i])
                 intersects = dead_arr is not None and (
                     int(np.searchsorted(dead_arr, firsts[i]))
@@ -521,7 +518,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                 if not buf_d and ns[i] == block_size and not intersects:
                     # aligned full block, no tombstones in range: pass
                     # through untouched
-                    out["term"].append(cur_term)
+                    out["tid"].append(cur_tid)
                     out["segment_id"].append(int(segs[i]))
                     out["first_doc"].append(int(firsts[i]))
                     out["last_doc"].append(int(lasts[i]))
@@ -565,8 +562,8 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
 
 def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
                      with_positions: bool = False, chunk_size: int = 1 << 14):
-    """mapInArrow encoder over a partition sorted by (term, doc_id)
-    (== (term, segment, salt, doc_id) order — see encode_table): Arrow
+    """mapInArrow encoder over a partition sorted by (tid, doc_id)
+    (== (tid, segment, salt, doc_id) order — see encode_table): Arrow
     batch boundaries can split a group, so the trailing (possibly
     incomplete) group of each batch is carried into the next. Carry
     size is bounded by chunk_size postings (the salt guarantees no
@@ -575,7 +572,6 @@ def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_
     def run(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         carry = None
         for rb in batches:
@@ -585,11 +581,10 @@ def encode_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_
             n = tbl.num_rows
             if not n:
                 continue
-            # trailing rows belonging to the last (term, seg, salt) group
+            # trailing rows belonging to the last (tid, seg, salt) group
             # (sorted input ⇒ they are exactly the rows equal to the last key)
-            tail = pc.equal(tbl.column("term"), tbl.column("term")[n - 1]).to_numpy(
-                zero_copy_only=False
-            )
+            tids = tbl.column("tid").to_numpy()
+            tail = tids == tids[n - 1]
             doc = tbl.column("doc_id").to_numpy()
             seg = doc // SEG_STRIDE
             salt = (doc % SEG_STRIDE) // chunk_size

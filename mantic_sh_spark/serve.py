@@ -34,6 +34,7 @@ the same contract an MCP/HTTP adapter would wrap.
 from __future__ import annotations
 
 import json
+import threading
 import time
 from collections import OrderedDict
 
@@ -43,30 +44,52 @@ from .functions.bm25 import B, K1, idf as idf_fn
 from .functions.tokenize import tokenize_query
 from .sources.catalog import IndexPaths
 
-_POSTING_COLS = ["term", "first_doc", "last_doc", "block_max", "n",
+# posting rows are keyed by `tid` (dictionary-encoded term — xxhash64);
+# the reader resolves term → tid from the terms directory, so no hash
+# implementation exists outside the Spark build
+_POSTING_COLS = ["tid", "first_doc", "last_doc", "block_max", "n",
                  "doc_gaps", "tfs", "dls"]
 
 
 class IndexReader:
     """Long-lived single-index reader: metadata memo + hot-term block
-    LRU + per-term df cache. Thread-compatible for a single-writer
-    refresh discipline (refresh() between mutations, queries between)."""
+    LRU + per-term df cache. THREAD-SAFE for concurrent queries under a
+    single-writer refresh discipline: shared caches (term metadata,
+    hot-term LRUs) mutate only under an internal lock, kernel execution
+    runs lock-free on the immutable fetched frames, and refresh() takes
+    the same lock so a reload can never interleave with a cache fill
+    (no torn refresh). Observability: per-query and cumulative
+    read-amplification counters — segments_touched, blocks_considered,
+    blocks_decoded, terms_cold — via `counters()`; the considered/
+    decoded gap is WAND's skip win, the number an operator watches at
+    100× scale."""
 
     def __init__(self, index_dir: str, k1: float = K1, b: float = B,
                  max_hot_terms: int = 4096):
         self.paths = IndexPaths(index_dir)
         self.k1, self.b = k1, b
         self.max_hot_terms = max_hot_terms
+        self._lock = threading.RLock()
         self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
         self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
-        self._df_cache: dict[str, int] = {}
+        self._df_cache: dict[str, tuple[int, int]] = {}  # term → (df, tid)
         self.truncated = False  # last topk() hit its budget_ms deadline
+        self.last_stats: dict = {}  # read-amp counters of the last query
+        self.totals: dict = {"queries": 0, "segments_touched": 0,
+                             "blocks_considered": 0, "blocks_decoded": 0,
+                             "terms_cold": 0}
         self.refresh()
 
     # ---------------------------------------------------------- metadata
     def refresh(self) -> None:
         """Reload index metadata and drop caches — call after a
-        build/extend/merge/delete touched this index."""
+        build/extend/merge/delete touched this index. Takes the reader
+        lock: concurrent queries either see the old state or the new,
+        never a half-swapped one."""
+        with self._lock:
+            self._refresh_locked()
+
+    def _refresh_locked(self) -> None:
         import pyarrow.dataset as ds
         import pyarrow.parquet as pq
 
@@ -119,63 +142,93 @@ class IndexReader:
         return d.to_table(columns=columns)
 
     # ---------------------------------------------------------- lookups
+    def _meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """{term: (global df, tid)} — lazy, cached; df 0 when absent.
+        tid comes from the client-side xxhash64 (functions/termhash.py,
+        bit-identical to the build's Catalyst expression), so a df
+        lookup is a row-group-pruned int64 probe of the tid-sorted
+        terms directory — no term strings exist anywhere in the core
+        index."""
+        import pyarrow.dataset as ds
+
+        from .functions.termhash import term_tid
+
+        with self._lock:
+            missing = sorted({t for t in terms if t not in self._df_cache})
+            if missing:
+                tid_of = {t: term_tid(t) for t in missing}
+                if self._terms is None:
+                    for t in missing:
+                        self._df_cache[t] = (0, tid_of[t])
+                else:
+                    tbl = self._terms.to_table(
+                        filter=ds.field("tid").isin(sorted(tid_of.values())),
+                        columns=["tid", "df"],
+                    )
+                    agg = tbl.to_pandas().groupby("tid")["df"].sum()
+                    dfs = {int(t): int(v) for t, v in agg.items()}
+                    for t in missing:
+                        self._df_cache[t] = (dfs.get(tid_of[t], 0), tid_of[t])
+            return {t: self._df_cache[t] for t in terms}
+
     def df(self, terms: list[str]) -> dict[str, int]:
         """Global document frequency per term (lazy, cached)."""
-        import pyarrow.dataset as ds
-
-        missing = sorted({t for t in terms if t not in self._df_cache})
-        if missing:
-            if self._terms is None:
-                for t in missing:
-                    self._df_cache[t] = 0
-            else:
-                tbl = self._terms.to_table(
-                    filter=ds.field("term").isin(missing), columns=["term", "df"]
-                )
-                agg = tbl.to_pandas().groupby("term")["df"].sum()
-                for t in missing:
-                    self._df_cache[t] = int(agg.get(t, 0))
-        return {t: self._df_cache[t] for t in terms}
+        return {t: m[0] for t, m in self._meta(terms).items()}
 
     def _fetch_blocks(self, lru: OrderedDict, columns: list[str],
-                      terms: list[str]) -> dict[str, "object"]:
+                      terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
         """Shared LRU-cached block fetch (BM25 and positional paths
-        differ only in cache + column list): row-group-pruned read of
-        the missing terms, per-term grouping, negative caching for
-        absent terms, LRU eviction."""
+        differ only in cache + column list): term → tid resolution via
+        the terms directory, row-group-pruned read of the missing tids,
+        per-term grouping, negative caching for absent terms, LRU
+        eviction. Runs under the reader lock (cache mutation); the
+        returned frames are treated as immutable by every kernel, so
+        concurrent queries share them safely."""
         import pyarrow.dataset as ds
 
-        out = {}
-        missing = []
-        for t in terms:
-            hit = lru.get(t)
-            if hit is not None:
-                lru.move_to_end(t)
-                out[t] = hit
-            else:
-                missing.append(t)
-        if missing:
-            tbl = self._postings.to_table(
-                filter=ds.field("term").isin(missing), columns=columns
-            )
-            pdf = tbl.to_pandas()
-            found = set()
-            for t, g in pdf.groupby("term"):
-                g = g.reset_index(drop=True)
-                lru[t] = g
-                out[t] = g
-                found.add(t)
-            for t in missing:
-                if t not in found:
-                    lru[t] = pdf.iloc[0:0]
-                    out[t] = lru[t]
-            while len(lru) > self.max_hot_terms:
-                lru.popitem(last=False)
-        return out
+        with self._lock:
+            out = {}
+            missing = []
+            for t in terms:
+                hit = lru.get(t)
+                if hit is not None:
+                    lru.move_to_end(t)
+                    out[t] = hit
+                else:
+                    missing.append(t)
+            if missing:
+                if stats is not None:
+                    stats["terms_cold"] = stats.get("terms_cold", 0) + len(missing)
+                meta = self._meta(missing)
+                tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
+                if tid2term:
+                    tbl = self._postings.to_table(
+                        filter=ds.field("tid").isin(list(tid2term)), columns=columns
+                    )
+                    pdf = tbl.to_pandas()
+                else:
+                    import pandas as pd
 
-    def _blocks(self, terms: list[str]) -> dict[str, "object"]:
+                    pdf = pd.DataFrame({c: [] for c in columns})
+                found = set()
+                for tid, g in pdf.groupby("tid"):
+                    t = tid2term[int(tid)]
+                    g = g.reset_index(drop=True)
+                    lru[t] = g
+                    out[t] = g
+                    found.add(t)
+                for t in missing:
+                    if t not in found:
+                        lru[t] = pdf.iloc[0:0]
+                        out[t] = lru[t]
+                while len(lru) > self.max_hot_terms:
+                    lru.popitem(last=False)
+            return out
+
+    def _blocks(self, terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
         """term → pandas blocks frame (with segment_id), LRU-cached."""
-        return self._fetch_blocks(self._blocks_lru, _POSTING_COLS + ["segment_id"], terms)
+        return self._fetch_blocks(self._blocks_lru, _POSTING_COLS + ["segment_id"], terms,
+                                  stats=stats)
 
     def urls(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id → url via row-group-pruned docs reads (docs are
@@ -205,6 +258,8 @@ class IndexReader:
         from .operators.wand import segment_topk
 
         t0 = time.time()
+        stats = {"segments_touched": 0, "blocks_considered": 0,
+                 "blocks_decoded": 0, "terms_cold": 0}
         self.truncated = False
         if self._postings is None:
             return []
@@ -213,7 +268,7 @@ class IndexReader:
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
         if not idf_map:
             return []
-        blocks = self._blocks(sorted(idf_map))
+        blocks = self._blocks(sorted(idf_map), stats=stats)
         per_seg: dict[int, dict[str, object]] = {}
         for t, pdf in blocks.items():
             if not len(pdf):
@@ -226,25 +281,45 @@ class IndexReader:
             if budget_ms is not None and i > 0 and (time.time() - t0) * 1e3 > budget_ms:
                 self.truncated = True
                 break
+            stats["segments_touched"] += 1
             hits.extend(
                 segment_topk(by_term, qterms, idf_map, self.avgdl, k,
                              self.k1, self.b,
                              bound_factor=self.bound_factors.get(seg, 1.0),
-                             dead=self.dead)
+                             dead=self.dead, stats=stats)
             )
         hits.sort(key=lambda x: (-x[1], x[0]))
+        self._record_stats(stats, t0)
         return hits[:k]
+
+    def _record_stats(self, stats: dict, t0: float) -> None:
+        stats["ms"] = round((time.time() - t0) * 1e3, 3)
+        with self._lock:
+            self.last_stats = stats
+            self.totals["queries"] += 1
+            for key in ("segments_touched", "blocks_considered",
+                        "blocks_decoded", "terms_cold"):
+                self.totals[key] += stats.get(key, 0)
+
+    def counters(self) -> dict:
+        """Read-amplification observability: counters for the LAST query
+        (segments touched, block rows considered, blocks actually
+        decoded — the gap is the skip win — and LRU-miss terms) plus
+        cumulative totals since construction/refresh."""
+        with self._lock:
+            return {"last": dict(self.last_stats), "total": dict(self.totals)}
 
     @property
     def has_positions(self) -> bool:
         return self._postings is not None and "positions" in self._postings.schema.names
 
-    def _pos_blocks(self, terms: list[str]) -> dict[str, "object"]:
+    def _pos_blocks(self, terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
         """term → blocks frame INCLUDING positions bytes (phrase path;
         cached separately from the BM25 hot set so non-phrase queries
         never hold position payloads in memory)."""
         return self._fetch_blocks(self._pos_lru,
-                                  _POSTING_COLS + ["positions", "segment_id"], terms)
+                                  _POSTING_COLS + ["positions", "segment_id"], terms,
+                                  stats=stats)
 
     def phrase_topk(self, phrase: str, k: int = 10, slop: int = 0) -> list[tuple[int, int]]:
         """[(doc_id, n_matches)] ranked (n_matches desc, doc_id asc) —
@@ -254,13 +329,16 @@ class IndexReader:
         from .functions.tokenize import tokenize
         from .operators.phrase import segment_phrase_matches
 
+        t0 = time.time()
+        stats = {"segments_touched": 0, "blocks_considered": 0,
+                 "blocks_decoded": 0, "terms_cold": 0}
         self.truncated = False
         if not self.has_positions:
             raise ValueError("phrase serving requires an index built with store_positions=True")
         terms = tokenize(phrase)  # ordered, repeats kept
         if not terms:
             return []
-        blocks = self._pos_blocks(sorted(set(terms)))
+        blocks = self._pos_blocks(sorted(set(terms)), stats=stats)
         per_seg: dict[int, dict[str, object]] = {}
         for t, pdf in blocks.items():
             if not len(pdf):
@@ -269,8 +347,15 @@ class IndexReader:
                 per_seg.setdefault(int(seg), {})[t] = g
         hits: list[tuple[int, int]] = []
         for seg, by_term in per_seg.items():
+            stats["segments_touched"] += 1
+            # the phrase kernel decodes every block of its candidate
+            # terms (positions must materialize to verify adjacency)
+            nb = sum(len(g) for g in by_term.values())
+            stats["blocks_considered"] += nb
+            stats["blocks_decoded"] += nb
             hits.extend(segment_phrase_matches(by_term, terms, self.dead, slop))
         hits.sort(key=lambda x: (-x[1], x[0]))
+        self._record_stats(stats, t0)
         return hits[:k]
 
     def search(self, query: str, k: int = 10, with_urls: bool = False,
@@ -358,42 +443,45 @@ def session_doc_boost(spark, log_dir: str):
 
 
 def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float = B,
-               log_dir: str | None = None) -> int:
+               log_dir: str | None = None, concurrency: int = 1) -> int:
     """JSON-lines serving loop (the `serve` CLI subcommand).
 
     Request per line:
       {"q": "spark join", "k": 10, "urls": true}   → BM25 search
       {"q": "spark join", "phrase": true, "slop": 2} → positional phrase
+      {"q": ..., "id": 7}                          → id echoed in response
+      {"op": "stats"}                              → read-amp counters
       {"op": "refresh"}                            → reload metadata
       {"op": "ping"}                               → liveness
       {"op": "quit"}                               → exit
     Response per line: {"results": [...], "ms": 1.8} (or {"ok": true},
     or {"error": "..."} — the loop never dies on a bad request).
     log_dir persists the session's query history (see QueryLog).
-    Returns the number of queries served.
+
+    concurrency > 1 serves queries from a thread pool (the IndexReader
+    is thread-safe; see its docstring): responses may interleave out of
+    request order, so clients pass "id" to correlate. Control ops
+    (refresh/quit) drain in-flight queries first — the single-writer
+    refresh discipline. Returns the number of queries served.
     """
     import sys
+    from concurrent.futures import ThreadPoolExecutor, wait
 
     stdin = stdin if stdin is not None else sys.stdin
     stdout = stdout if stdout is not None else sys.stdout
     reader = IndexReader(index_dir, k1=k1, b=b)
     qlog = QueryLog(log_dir) if log_dir else None
     served = 0
-    for line in stdin:
-        line = line.strip()
-        if not line:
-            continue
+    out_lock = threading.Lock()
+    served_lock = threading.Lock()
+
+    def _emit(obj: dict) -> None:
+        with out_lock:
+            print(json.dumps(obj), file=stdout, flush=True)
+
+    def _answer(req: dict) -> None:
+        nonlocal served
         try:
-            req = json.loads(line)
-            if req.get("op") == "quit":
-                break
-            if req.get("op") == "refresh":
-                reader.refresh()
-                print(json.dumps({"ok": True}), file=stdout, flush=True)
-                continue
-            if req.get("op") == "ping":
-                print(json.dumps({"ok": True, "n_docs": reader.n_docs}), file=stdout, flush=True)
-                continue
             t0 = time.time()
             budget = req.get("budget_ms")
             results = reader.search(req["q"], k=int(req.get("k", 10)),
@@ -401,17 +489,67 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                                     phrase=bool(req.get("phrase", False)),
                                     slop=int(req.get("slop", 0)),
                                     budget_ms=float(budget) if budget is not None else None)
-            served += 1
             ms = round((time.time() - t0) * 1e3, 2)
-            if qlog is not None:
-                qlog.record(req["q"], req.get("k", 10), results, ms)
+            with served_lock:
+                served += 1
+                if qlog is not None:
+                    qlog.record(req["q"], req.get("k", 10), results, ms)
             resp = {"results": results, "ms": ms}
             if reader.truncated:
                 resp["truncated"] = True  # ST4: partial answer, deadline hit
-            print(json.dumps(resp), file=stdout, flush=True)
+            if "id" in req:
+                resp["id"] = req["id"]
+            _emit(resp)
         except Exception as exc:  # serve loops answer errors, not crash
-            print(json.dumps({"error": f"{type(exc).__name__}: {exc}"}),
-                  file=stdout, flush=True)
+            err = {"error": f"{type(exc).__name__}: {exc}"}
+            if "id" in req:
+                err["id"] = req["id"]
+            _emit(err)
+
+    pool = ThreadPoolExecutor(max_workers=max(1, int(concurrency)))
+    pending: list = []
+
+    def _drain() -> None:
+        nonlocal pending
+        if pending:
+            wait(pending)
+            pending = []
+
+    try:
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                req = json.loads(line)
+            except ValueError as exc:
+                _emit({"error": f"{type(exc).__name__}: {exc}"})
+                continue
+            op = req.get("op")
+            if op == "quit":
+                break
+            if op == "refresh":
+                _drain()  # single-writer: no query may straddle the swap
+                reader.refresh()
+                _emit({"ok": True})
+                continue
+            if op == "ping":
+                _emit({"ok": True, "n_docs": reader.n_docs})
+                continue
+            if op == "stats":
+                _emit({"ok": True, **reader.counters()})
+                continue
+            if "q" not in req:
+                _emit({"error": "KeyError: 'q'"})
+                continue
+            if pool._max_workers == 1:
+                _answer(req)
+            else:
+                pending = [f for f in pending if not f.done()]
+                pending.append(pool.submit(_answer, req))
+        _drain()
+    finally:
+        pool.shutdown(wait=True)
     if qlog is not None:
         qlog.flush()
     return served

@@ -78,6 +78,14 @@ class IndexPaths:
         return os.path.join(self.root, "tombstones")
 
     @property
+    def term_dict(self) -> str:
+        # OPTIONAL (term, tid, df) vocabulary sidecar for fuzzy
+        # expansion / debugging — built on demand
+        # (operators/index_build.build_term_dictionary), never on the
+        # build hot path; the core index carries no term strings
+        return os.path.join(self.root, "term_dictionary")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "build_manifest")
 

@@ -62,10 +62,10 @@ def extend_index(
 
     t0 = time.time()
     new_docs = build_docs(new_pages, n_segments=n_new_segments, segment_offset=seg_base)
+    # build_docs output is already segment-partitioned and doc_id-sorted
+    # within segments (window order) — no second text shuffle needed
     (
         new_docs.drop("tokens")
-        .repartition("segment_id")
-        .sortWithinPartitions("doc_id")
         .write.mode("append")
         .partitionBy("segment_id")
         .parquet(paths.docs)
@@ -133,13 +133,34 @@ def upsert_pages(
     Returns {"added": n, "modified": n, "unchanged": n, "segments": [..]}.
     """
     paths = IndexPaths(index_dir)
+    from pyspark.sql import Window
+
     from ..operators.delete import live_docs
+
+    def _latest_per_url(df: DataFrame, order_col) -> DataFrame:
+        w = Window.partitionBy("url").orderBy(order_col)
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    # dedupe the incoming batch by url (keep the latest row by warc_ts
+    # when present): a url appearing twice in one batch would fan out
+    # the fingerprint join, inflate added/modified counts, and fold the
+    # same page in twice as duplicate docs
+    if "warc_ts" in pages.columns:
+        pages = _latest_per_url(pages, F.desc_nulls_last("warc_ts"))
+    else:
+        pages = pages.dropDuplicates(["url"])
 
     # live view only: a url modified in an EARLIER upsert still has its
     # tombstoned old row in the docs table until purge — joining against
-    # it would fan the diff out and re-add the page
-    existing = live_docs(spark.read.parquet(paths.docs), spark, paths).select(
-        "url", "doc_id", F.md5("text").alias("old_fp")
+    # it would fan the diff out and re-add the page. The docs side is
+    # additionally deduped by url (one-live-doc-per-url is the intended
+    # invariant, but a plain extend of an already-indexed url can
+    # violate it — keep the highest doc_id, i.e. the newest fold).
+    existing = _latest_per_url(
+        live_docs(spark.read.parquet(paths.docs), spark, paths).select(
+            "url", "doc_id", F.md5("text").alias("old_fp")
+        ),
+        F.desc("doc_id"),
     )
     # the pages ⋈ docs fingerprint join is the dominant cost and feeds
     # FOUR consumers (counts, tombstone write, tombstone count, delta

@@ -82,7 +82,7 @@ def test_build_with_extract_matches_text_build(spark, tmp_path):
         "url", "warc_ts", "html", "text", "lang"
     ), b, n_segments=3, extract=True)
 
-    cols = ["term", "segment_id", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
-    pa_ = spark.read.parquet(f"{a}/postings").select(cols).orderBy("term", "segment_id", "first_doc")
-    pb_ = spark.read.parquet(f"{b}/postings").select(cols).orderBy("term", "segment_id", "first_doc")
+    cols = ["tid", "segment_id", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
+    pa_ = spark.read.parquet(f"{a}/postings").select(cols).orderBy("tid", "segment_id", "first_doc")
+    pb_ = spark.read.parquet(f"{b}/postings").select(cols).orderBy("tid", "segment_id", "first_doc")
     assert pa_.collect() == pb_.collect()

@@ -90,7 +90,7 @@ def test_resume_produces_identical_index(spark, small_corpus, tmp_path):
     assert len(done_segments(spark, IndexPaths(part_dir))) == 4
 
     # resumed index == clean one-shot index, content-wise
-    cols = ["segment_id", "term", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
+    cols = ["segment_id", "tid", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
     a = spark.read.parquet(f"{full_dir}/postings").select(cols)
     b = spark.read.parquet(f"{part_dir}/postings").select(cols)
     assert a.count() == b.count()
@@ -136,9 +136,13 @@ def test_salted_chunks_concatenate_correctly(spark, tmp_path):
 
     # the stop term must span >1 chunk: its per-(segment) block list in the
     # salted build comes from several independent encodes
+    from mantic_sh_spark.operators.wand import _term_meta
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    stop_tid = _term_meta(spark, IndexPaths(a), [cfg.stop_term])[cfg.stop_term][1]
     blocks_a = (
         spark.read.parquet(f"{a}/postings")
-        .filter(F.col("term") == cfg.stop_term)
+        .filter(F.col("tid") == stop_tid)
         .orderBy("segment_id", "first_doc")
         .collect()
     )

@@ -42,12 +42,30 @@ def test_extract_entities():
 
 
 def test_fuzzy_expansion_finds_close_terms(spark, small_corpus):
+    import pytest
+
+    from mantic_sh_spark.operators.index_build import build_term_dictionary
+
+    # fuzzy needs the on-demand vocabulary sidecar (the core index has
+    # no term strings); a missing dictionary must say so, not crash
+    import shutil
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    shutil.rmtree(IndexPaths(small_corpus["index_dir"]).term_dict, ignore_errors=True)
+    with pytest.raises(FileNotFoundError, match="term_dictionary"):
+        expand_fuzzy_term(small_corpus["index_dir"], "w1y")
+    n = build_term_dictionary(spark, small_corpus["index_dir"])
+    assert n > 500  # vocab_size=600 synthetic corpus
     # vocab contains w1x..w599x — a 1-edit typo must resolve to real terms
     got = expand_fuzzy_term(small_corpus["index_dir"], "w1y", max_dist=1, limit=3)
     assert got and all(t.startswith("w1") for t in got)
     # exact term ranks first when present
     got2 = expand_fuzzy_term(small_corpus["index_dir"], "w12x", max_dist=2, limit=3)
     assert got2[0] == "w12x"
+    # ADVICE r2: a correction differing in the FIRST letter must be
+    # reachable when it is the query term's first-char deletion
+    got3 = expand_fuzzy_term(small_corpus["index_dir"], "ww9x", max_dist=1, limit=3)
+    assert "w9x" in got3
 
 
 def test_cli_auto_routing(spark, small_corpus, capsys):

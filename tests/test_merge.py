@@ -33,7 +33,7 @@ def test_merge_preserves_results(spark, tmp_path):
     p = spark.read.parquet(f"{idx}/postings").filter(F.col("segment_id") == dst)
     from pyspark.sql import Window
 
-    w = Window.partitionBy("term").orderBy(F.desc("first_doc"))
+    w = Window.partitionBy("tid").orderBy(F.desc("first_doc"))
     ragged = (
         p.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") > 1) & (F.col("n") < 128))
@@ -68,7 +68,7 @@ def test_compaction_defragments_and_preserves_results(spark, tmp_path):
     assert after < before, f"compaction should shrink block count ({before} -> {after})"
     # every non-final block of a term should be full (16): at most one
     # ragged block per (term, partition boundary)
-    ragged = after_df.filter(F.col("n") < 16).groupBy("term").count().filter("count > 2").count()
+    ragged = after_df.filter(F.col("n") < 16).groupBy("tid").count().filter("count > 2").count()
     assert ragged == 0
 
     queries = gen_queries(cfg, n_queries=12)

@@ -16,10 +16,18 @@ SF = "/root/testdata/sf0.001"
 
 
 def test_term_filter_pushes_down_to_postings_scan(spark, small_corpus):
+    # postings are keyed by the dictionary-encoded int64 tid; resolve the
+    # query terms through the terms directory exactly like wand_topk does
+    from mantic_sh_spark.operators.wand import _term_meta
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    meta = _term_meta(spark, IndexPaths(small_corpus["index_dir"]), ["w1x", "w2x"])
+    tids = [m[1] for m in meta.values() if m[0] > 0]
+    assert len(tids) == 2
     blocks = spark.read.parquet(f"{small_corpus['index_dir']}/postings").filter(
-        F.col("term").isin(["w1x", "w2x"])
+        F.col("tid").isin(tids)
     )
-    assert has_pushed_filter(blocks, "term"), explain_str(blocks)[:2000]
+    assert has_pushed_filter(blocks, "tid"), explain_str(blocks)[:2000]
 
 
 def test_docs_scan_prunes_columns(spark, small_corpus):

@@ -187,3 +187,138 @@ def test_timeout_guard_returns_partial(spark, small_corpus):
                stdout=out)
     resp = json.loads(out.getvalue().splitlines()[0])
     assert resp.get("truncated") is True and resp["results"]
+
+
+def test_mcp_round_trip(spark, small_corpus):
+    """MCP stdio adapter (reference: src/mcp-server.ts:338-441): a full
+    JSON-RPC session — initialize handshake, tools/list, search_files
+    call — against a built index, with results value-identical to the
+    reader's own search()."""
+    import io
+    import json
+
+    from mantic_sh_spark.mcp import serve_stdio
+    from mantic_sh_spark.serve import IndexReader
+
+    idx = small_corpus["index_dir"]
+    reqs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize",
+         "params": {"protocolVersion": "2025-06-18", "capabilities": {}}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+         "params": {"name": "search_files",
+                    "arguments": {"query": "w1x w5x", "maxResults": 5}}},
+        {"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+         "params": {"name": "index_stats", "arguments": {}}},
+        {"jsonrpc": "2.0", "id": 5, "method": "no/such/method"},
+        "this is not json",
+    ]
+    stdin = io.StringIO("\n".join(
+        json.dumps(r) if isinstance(r, dict) else r for r in reqs) + "\n")
+    stdout = io.StringIO()
+    serve_stdio(idx, stdin=stdin, stdout=stdout)
+    lines = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    by_id = {l.get("id"): l for l in lines}
+    # handshake
+    assert by_id[1]["result"]["protocolVersion"]
+    assert by_id[1]["result"]["serverInfo"]["name"] == "mantic-sh-spark"
+    # tool discovery
+    names = [t["name"] for t in by_id[2]["result"]["tools"]]
+    assert "search_files" in names and "index_stats" in names
+    # search_files call: content payload matches the reader directly
+    content = json.loads(by_id[3]["result"]["content"][0]["text"])
+    reader = IndexReader(idx)
+    want = reader.search("w1x w5x", k=5, with_urls=True)
+    assert content["results"] == json.loads(json.dumps(want))
+    assert by_id[3]["result"]["isError"] is False
+    # stats carries corpus + read-amp counters
+    st = json.loads(by_id[4]["result"]["content"][0]["text"])
+    assert st["n_docs"] == 400 and "last" in st and "total" in st
+    # protocol errors answered, loop alive
+    assert by_id[5]["error"]["code"] == -32601
+    assert any("error" in l and l.get("id") is None for l in lines)  # parse error
+
+
+def test_reader_concurrent_queries_identical(spark, small_corpus):
+    """Task 7 (serve concurrency): N threads hammering one reader must
+    each get value-identical results to a fresh single-threaded reader,
+    with no torn refresh (a refresh runs mid-flight)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mantic_sh_spark.serve import IndexReader
+
+    idx = small_corpus["index_dir"]
+    queries = [q for _, q in gen_queries(small_corpus["cfg"], n_queries=16)]
+    want = {q: IndexReader(idx).topk(q, 10) for q in set(queries)}
+
+    reader = IndexReader(idx)
+
+    def hammer(i: int):
+        out = []
+        for j, q in enumerate(queries):
+            if i == 0 and j == 8:
+                reader.refresh()  # single-writer refresh mid-traffic
+            out.append((q, reader.topk(q, 10)))
+        return out
+
+    with ThreadPoolExecutor(6) as pool:
+        results = list(pool.map(hammer, range(6)))
+    for thread_out in results:
+        for q, got in thread_out:
+            assert got == want[q], q
+
+
+def test_read_amplification_counters(spark, small_corpus):
+    """Task 8: per-query segments-touched / blocks-considered /
+    blocks-decoded counters in the reader, surfaced through the serve
+    loop's stats op."""
+    import io
+    import json
+
+    from mantic_sh_spark.serve import IndexReader, serve_loop
+
+    idx = small_corpus["index_dir"]
+    reader = IndexReader(idx)
+    reader.topk("w1x w5x", 10)
+    c = reader.counters()
+    assert c["last"]["segments_touched"] >= 1
+    assert c["last"]["blocks_considered"] >= c["last"]["segments_touched"]
+    assert c["last"]["blocks_decoded"] >= 1
+    assert c["last"]["terms_cold"] == 2  # both terms were LRU-cold
+    reader.topk("w1x w5x", 10)
+    assert reader.counters()["last"]["terms_cold"] == 0  # hot now
+    assert reader.counters()["total"]["queries"] == 2
+
+    # the serve loop surfaces the same counters (op: stats)
+    stdin = io.StringIO('{"q": "w1x w5x"}\n{"op": "stats"}\n{"op": "quit"}\n')
+    stdout = io.StringIO()
+    serve_loop(idx, stdin=stdin, stdout=stdout)
+    lines = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    st = [l for l in lines if l.get("ok") and "total" in l][0]
+    assert st["total"]["queries"] == 1 and st["last"]["segments_touched"] >= 1
+
+
+def test_serve_loop_concurrent_ids(spark, small_corpus):
+    """serve_loop with concurrency>1: responses may interleave, so the
+    id field correlates them; every request gets exactly one response
+    and results equal the sequential loop's."""
+    import io
+    import json
+
+    from mantic_sh_spark.serve import IndexReader, serve_loop
+
+    idx = small_corpus["index_dir"]
+    queries = [q for _, q in gen_queries(small_corpus["cfg"], n_queries=12)]
+    req_lines = [json.dumps({"q": q, "k": 5, "id": i}) for i, q in enumerate(queries)]
+    stdin = io.StringIO("\n".join(req_lines) + '\n{"op": "quit"}\n')
+    stdout = io.StringIO()
+    served = serve_loop(idx, stdin=stdin, stdout=stdout, concurrency=4)
+    assert served == len(queries)
+    resps = {r["id"]: r for r in map(json.loads, stdout.getvalue().splitlines())}
+    assert set(resps) == set(range(len(queries)))
+    reader = IndexReader(idx)
+    for i, q in enumerate(queries):
+        want = [{"rank": j + 1, "doc_id": d, "score": s}
+                for j, (d, s) in enumerate(reader.topk(q, 5))]
+        assert resps[i]["results"] == json.loads(json.dumps(want)), q
