@@ -163,7 +163,7 @@ def _jvmcal_phase(cores: int, pages_path: str) -> dict:
     return {"cores": cores, "seconds": dt, "rows_per_sec": n / dt}
 
 
-def _query_phase(cores: int, index_dir: str) -> dict:
+def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
     """Query latency on the built index, at both serving surfaces:
 
     * serve_*: the long-lived serving loop (serve.IndexReader) — the
@@ -214,10 +214,37 @@ def _query_phase(cores: int, index_dir: str) -> dict:
         reader.topk(q, 10)
         hot.append(time.time() - t0)
     hot.sort()
+    # stop-word phrase on a positional index — the adversarial case for
+    # phrase verification (candidate set ≈ the whole corpus; r3 review
+    # item: one ragged-array pass, no per-doc Python loop). ~100k-doc
+    # deterministic slice of the bench corpus, built once per work dir.
+    from mantic_sh_spark.operators.index_build import build_index
+    from pyspark.sql import functions as F
+
+    pos_idx = index_dir + "_pos"
+    if not os.path.exists(f"{pos_idx}/postings/segment_id=0"):
+        spark2 = get_spark(cores=cores, app_name="bench-posbuild", shuffle_partitions=16)
+        sub = spark2.read.parquet(pages_path).filter(
+            F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+        )
+        shutil.rmtree(pos_idx, ignore_errors=True)
+        build_index(spark2, sub, pos_idx, n_segments=8, store_positions=True)
+        spark2.stop()
+    preader = IndexReader(pos_idx)
+    stop_phrase = f"{cfg.stop_term} w1x"  # stop term hits ~90% of docs
+    preader.phrase_topk(stop_phrase, 10)  # open files once
+    plat = []
+    for _ in range(7):
+        t0 = time.time()
+        preader.phrase_topk(stop_phrase, 10)
+        plat.append(time.time() - t0)
+    plat.sort()
+
     return {
         "serve_p50_s": slat[len(slat) // 2],
         "serve_p90_s": slat[int(len(slat) * 0.9)],
         "serve_hot_p50_s": hot[len(hot) // 2],
+        "phrase_stop_p50_s": plat[len(plat) // 2],
         "wand_spark_p50_s": lat[len(lat) // 2],
         "wand_spark_p90_s": lat[int(len(lat) * 0.9)],
         "wand_batch30_s": batch,
@@ -260,7 +287,7 @@ def main() -> None:
         elif kind == "jvmcal":
             res = _jvmcal_phase(cores, pages_path)
         else:
-            res = _query_phase(cores, index_dir)
+            res = _query_phase(cores, index_dir, pages_path)
         print("PHASE_JSON:" + json.dumps(res))
         return
 
@@ -311,6 +338,7 @@ def main() -> None:
     queries["wand_p50"] = round(qstats["serve_p50_s"], 4)
     queries["wand_p90"] = round(qstats["serve_p90_s"], 4)
     queries["wand_hot_p50"] = round(qstats["serve_hot_p50_s"], 4)
+    queries["phrase_stop_p50"] = round(qstats["phrase_stop_p50_s"], 4)
     queries["wand_spark_p50"] = round(qstats["wand_spark_p50_s"], 4)
     queries["wand_batch30"] = round(qstats["wand_batch30_s"], 4)
 

@@ -27,13 +27,31 @@ def delete_docs_df(spark: SparkSession, index_dir: str, ids_df: DataFrame) -> in
     """Tombstone a DataFrame of doc ids (column `doc_id`) — the
     scale path: the id set is never materialized on the driver; the
     tombstone table is written distributed. Returns the count (one
-    agg job over the incoming set)."""
+    agg job over the incoming set).
+
+    The tombstones table is hive-partitioned by the segment whose
+    POSTINGS currently hold each doc (ownership = the norms join —
+    norms rows move with merges, so this stays correct across
+    compaction generations). Query kernels then load only THEIR
+    segment's liveness sidecar inside the task — no global tombstone
+    array ever ships in a closure, so per-task cost is bounded by one
+    segment's churn, not the index's. Ids with no norms row anywhere
+    (never existed, or already purged) land under segment_id=-1: they
+    have no postings, so no kernel needs them, and any purge clears
+    them."""
     paths = IndexPaths(index_dir)
     ids_df = ids_df.select(F.col("doc_id").cast("long")).distinct()
     n = ids_df.count()
     if not n:
         return 0
-    ids_df.write.mode("append").parquet(paths.tombstones)
+    norms = read_or_none(spark, paths.norms)
+    if norms is None:
+        owned = ids_df.withColumn("segment_id", F.lit(-1))
+    else:
+        owned = ids_df.join(norms.select("doc_id", "segment_id"), "doc_id", "left").withColumn(
+            "segment_id", F.coalesce(F.col("segment_id"), F.lit(-1))
+        )
+    owned.write.mode("append").partitionBy("segment_id").parquet(paths.tombstones)
     from .wand import refresh_meta
 
     refresh_meta(index_dir)
@@ -82,19 +100,38 @@ def tombstone_df(spark: SparkSession, paths: IndexPaths) -> DataFrame | None:
     return t.select("doc_id").distinct()
 
 
-def tombstone_ids(spark: SparkSession, paths: IndexPaths) -> np.ndarray:
-    """All tombstoned doc ids as a sorted int64 array (empty if none) —
-    the in-memory liveness form the WAND/phrase kernels ship to tasks
-    (Arrow toPandas, no per-row driver objects). Bounded use: fine to
-    ~10^7 live tombstones (~80 MB closure); beyond that an index should
-    be purge-merged (merge_segments(purge=True)) — the LSM contract —
-    or liveness moves to per-segment bitmap sidecars."""
-    t = tombstone_df(spark, paths)
-    if t is None:
+def tombstone_segments(spark: SparkSession, paths: IndexPaths) -> frozenset[int]:
+    """Segments that currently have a tombstone partition — pure
+    directory-listing metadata (no Spark job, no data read). Kernels
+    consult this set to skip the sidecar read entirely for untouched
+    segments (the common case)."""
+    from .index_build import _list_segments
+
+    return frozenset(_list_segments(spark, paths.tombstones))
+
+
+def segment_tombstones(tombstones_path: str, segment_id: int) -> np.ndarray:
+    """TASK-side liveness load: the sorted dead doc ids of ONE segment,
+    read from that segment's partition of the tombstones table. This is
+    what replaced the global tombstone array that used to ship in every
+    WAND/phrase closure — a task's liveness cost is now one bounded
+    columnar read of its own segment's churn (and zero when
+    tombstone_segments says the segment is clean)."""
+    import pyarrow.dataset as ds
+
+    try:
+        d = ds.dataset(f"{tombstones_path}/segment_id={int(segment_id)}", format="parquet")
+        arr = d.to_table(columns=["doc_id"]).column("doc_id").to_numpy()
+    except FileNotFoundError:
         return np.empty(0, dtype=np.int64)
-    ids = t.toPandas()["doc_id"].to_numpy(dtype=np.int64, copy=True)
-    ids.sort()
-    return ids
+    return np.unique(arr)
+
+
+def tombstone_count(spark: SparkSession, paths: IndexPaths) -> int:
+    """Number of live (unsatisfied) tombstones — one distributed count,
+    never an id list on the driver."""
+    t = tombstone_df(spark, paths)
+    return 0 if t is None else t.count()
 
 
 def live_docs(docs: DataFrame, spark: SparkSession, paths: IndexPaths) -> DataFrame:

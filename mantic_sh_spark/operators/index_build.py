@@ -5,24 +5,27 @@ Pipeline (all DataFrame + mapInArrow; no per-row Python):
 
   pages ── extract ── build_docs ──► docs table        (stage 'docs')
                      │                └─► norms, collection_stats
-                     └─► explode(tokens) → raw (term, doc_id, doc_len,
-                         segment_id, salt) token rows
-                             │  repartition(term, segment_id, salt)
-                             │  + sortWithinPartitions(..., doc_id)
+                     └─► explode(tokens) → (tid=xxhash64(term), doc_id,
+                         doc_len, tf) posting rows — four fixed 8-byte
+                         slots, no strings
+                             │  repartition(tid, segment, salt)
+                             │  + sortWithinPartitions(tid, doc_id)
                              │  ← THE salted repartition — the build's
                              │    single wide shuffle. Head terms split
                              │    across doc-range chunks, so no task
                              │    ever holds more than CHUNK_SIZE
-                             │    postings for one term; tf falls out
-                             │    of a run-length pass over the sort
+                             │    postings for one term; segment/salt
+                             │    are derived from doc_id, never shipped
                              ▼
                          mapInArrow vectorized encode → block rows
                              │  (blocks carry absolute first_doc ⇒
                              │   chunk outputs concatenate in doc-id
                              │   order with no second merge pass)
                              ▼
-            postings/segment_id=K (sorted by term, first_doc)
-            terms/segment_id=K    (df, max_tf_norm, bytes — Catalyst agg)
+            postings/segment_id=K (sorted by tid, first_doc)
+            terms/segment_id=K    (tid, df, max_tf_norm, bytes — no
+                                   strings; clients hash query terms
+                                   with functions/termhash.py)
             build_manifest        (per-segment lineage + metrics + build_avgdl)
 
 Resume (reference analog: stale-file diff src/cache.ts:147-186): a
@@ -47,6 +50,11 @@ from ..functions.bm25 import B, K1
 from ..sources.catalog import IndexPaths, append_manifest, done_segments, read_or_none
 from .docs import build_docs, doc_stats
 
+# On-disk index format version — bump on any layout/schema change so
+# cached test/oracle indexes rebuild instead of failing on old columns
+# (v3: tid-keyed postings + stringless terms dir + partitioned tombstones)
+INDEX_FORMAT = 3
+
 BLOCK_ROW_SCHEMA = (
     "tid long, segment_id int, first_doc long, last_doc long, "
     "block_max double, n int, doc_gaps binary, tfs binary, dls binary"
@@ -56,15 +64,15 @@ BLOCK_ROW_SCHEMA_POS = BLOCK_ROW_SCHEMA + ", positions binary"
 
 def tid_col(term) -> F.Column:
     """Dictionary-encoded term key: xxhash64 of the term string (Spark's
-    XxHash64 expression, seed 42). Postings are keyed by this int64 —
-    term STRINGS never travel through the build's wide shuffle and never
-    sit on posting rows; the (tid → term) mapping lives in the
-    vocabulary-sized terms directory. Query paths resolve term → tid by
-    reading the terms directory (no client-side hash implementation
-    needed). Collision risk is birthday-bounded (~V²/2^65: ~3e-4 at a
-    10^8-term vocabulary); every build batch cross-checks
-    countDistinct(tid) == countDistinct(term) over the terms it wrote
-    and fails loudly rather than silently merging posting lists."""
+    XxHash64 expression, seed 42). Postings AND the terms directory are
+    keyed by this int64 — term strings never travel through the build's
+    wide shuffle and are not stored in the core index at all. Query
+    clients recover the key with the bit-identical pure-Python xxhash64
+    (functions/termhash.py; lock-step test). Collision risk is
+    birthday-bounded (~V²/2^65: ~3e-4 at a 10^8-term vocabulary);
+    build_term_dictionary doubles as the collision check (countDistinct
+    tid vs term over the full vocabulary) and fails loudly rather than
+    letting two terms' posting lists merge silently."""
     col = term if isinstance(term, F.Column) else F.col(term)
     return F.xxhash64(col)
 
@@ -262,18 +270,23 @@ def build_postings_for_segments(
     # task instead of paying per-group pandas overhead.
     seg_col = F.expr(f"CAST(doc_id DIV {SEG_STRIDE} AS INT)")
     salt_col = F.expr(f"CAST((doc_id % {SEG_STRIDE}) DIV {chunk} AS INT)")
-    sort_cols = ["tid", "doc_id"]
     blocks = (
         toks.repartition(F.col("tid"), seg_col, salt_col)
-        .sortWithinPartitions(*sort_cols)
+        .sortWithinPartitions("tid", "doc_id")
         .mapInArrow(
             encode_stream_fn(avgdl, k1, b, block_size or codec.BLOCK_SIZE,
                              store_positions, chunk_size=chunk),
             schema=BLOCK_ROW_SCHEMA_POS if store_positions else BLOCK_ROW_SCHEMA,
         )
     )
-    # One writer partition per segment → one sorted run per segment dir;
-    # row-group min/max stats on `tid` give query-time block pruning.
+    # Second, SMALL shuffle: one writer partition per segment → one
+    # sorted run per segment dir; row-group min/max stats on `tid` give
+    # query-time block pruning. This exchange moves only the COMPRESSED
+    # index (~0.4% of the input bytes — 133 MB for 33 M postings at
+    # sf0.1), and buys the layout serving and merges depend on; a
+    # measured attempt to fold it into the first shuffle (partitioning
+    # by (segment, salt) alone) saved nothing locally and would write
+    # O(chunks) files per segment at scale.
     (
         blocks.repartition("segment_id")
         .sortWithinPartitions("tid", "first_doc")
@@ -424,17 +437,26 @@ def build_index(
                 [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": 0, "started_at": t0}],
             )
             return paths
-        doc_stats(docs_read).repartition("segment_id").write.mode("overwrite").partitionBy(
-            "segment_id"
-        ).parquet(paths.norms)
-        # one agg job over the tiny norms sidecar; the single-row stats
-        # table then writes from the driver (pandas → Arrow) — no second
-        # Spark agg job and no re-read for n_docs
-        srow = (
-            spark.read.parquet(paths.norms)
-            .agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-            .collect()[0]
-        )
+        # norms write and the collection-stats agg both scan the (3-col
+        # pruned) docs table and are independent — run them as
+        # CONCURRENT jobs so their fixed scheduling+scan latency
+        # overlaps (docs-stage serial-tail trim)
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _norms_write():
+            doc_stats(docs_read).repartition("segment_id").write.mode(
+                "overwrite"
+            ).partitionBy("segment_id").parquet(paths.norms)
+
+        def _stats_row():
+            return docs_read.agg(
+                F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+            ).collect()[0]
+
+        with ThreadPoolExecutor(2) as pool:
+            f_norms, f_stats = pool.submit(_norms_write), pool.submit(_stats_row)
+            srow = f_stats.result()
+            f_norms.result()
         spark.createDataFrame(
             pd.DataFrame({"n_docs": [srow.n_docs], "avgdl": [float(srow.avgdl or 0.0)]}),
             "n_docs long, avgdl double",

@@ -35,7 +35,7 @@ from ..sources.catalog import IndexPaths, append_manifest, read_or_none
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
 
 
-def _purge_docs_and_stats(spark, paths, purge_df) -> None:
+def _purge_docs_and_stats(spark, paths, purge_df, srcs) -> None:
     """Make deletes real: drop purged rows from the docs dirs that hold
     them, re-baseline collection_stats over the remaining norms, and
     clear the satisfied tombstones. Docs dirs never move across merges,
@@ -75,19 +75,19 @@ def _purge_docs_and_stats(spark, paths, purge_df) -> None:
         pd.DataFrame({"n_docs": [row.n_docs], "avgdl": [float(row.avgdl or 0.0)]}),
         "n_docs long, avgdl double",
     ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
-    # tombstones minus the purged set (anti-join, staged swap)
-    t = read_or_none(spark, paths.tombstones)
-    if t is not None:
-        staging = f"{paths.root}/tombstones_tmp"
-        _delete_path(spark, staging)
-        t.select("doc_id").distinct().join(purge_df, "doc_id", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(staging)
-        rest = read_or_none(spark, staging)
-        _delete_path(spark, paths.tombstones)
-        if rest is not None:
-            rest.write.mode("overwrite").parquet(paths.tombstones)
-        _delete_path(spark, staging)
+    # satisfied tombstones = exactly the src segments' partitions plus
+    # the orphan partition (-1): the tombstones table is hive-
+    # partitioned by the postings-owning segment (delete.delete_docs_df,
+    # re-homed on non-purge merges), so clearing them is a metadata
+    # partition delete — no table rewrite, regardless of tombstone count
+    for s in list(srcs) + [-1]:
+        _delete_path(spark, f"{paths.tombstones}/segment_id={int(s)}")
+
+
+def _live_tombstone_segments(spark, paths) -> list[int]:
+    from .index_build import _list_segments
+
+    return _list_segments(spark, paths.tombstones)
 
 
 def maybe_compact(
@@ -166,8 +166,10 @@ def merge_segments(
     # in segment s — correct across any number of compaction
     # generations, where doc_id DIV STRIDE only names the ORIGINAL
     # segment (review r2 finding). purge_df is the plan-side form
-    # (anti-joins); purge_ids is the in-task liveness array the
-    # streaming compactor ships — bounded use, see delete.tombstone_ids.
+    # (anti-joins); purge_ids is the in-task dead array the streaming
+    # compactor ships — bounded by THIS fold's tombstones, never the
+    # index's (the global-array pattern was removed from the query
+    # paths; a compaction legitimately holds its own fold's set).
     purge_ids = np.empty(0, dtype=np.int64)
     purge_df = None
     purge_stage = f"{paths.root}/purge_ids_tmp"
@@ -296,7 +298,31 @@ def merge_segments(
         mn = avgdl if mn is None else min(float(mn), avgdl)
 
     if purge_df is not None:
-        _purge_docs_and_stats(spark, paths, purge_df)
+        _purge_docs_and_stats(spark, paths, purge_df, srcs)
+    elif purge_segs := [
+        s for s in srcs
+        if s in {int(x) for x in _live_tombstone_segments(spark, paths)}
+    ]:
+        # merge WITHOUT purge: postings (and norms) moved to dst, so the
+        # src segments' tombstones must re-home under the dst partition
+        # or later purges and per-segment liveness reads would miss them
+        stage_t = f"{paths.root}/tombstones_rehome_tmp"
+        _delete_path(spark, stage_t)
+        (
+            spark.read.parquet(paths.tombstones)
+            .filter(F.col("segment_id").isin(purge_segs))
+            .select("doc_id")
+            .write.mode("overwrite")
+            .parquet(stage_t)
+        )
+        staged = read_or_none(spark, stage_t)
+        for s in purge_segs:
+            _delete_path(spark, f"{paths.tombstones}/segment_id={int(s)}")
+        if staged is not None:
+            staged.withColumn("segment_id", F.lit(int(dst_segment))).write.mode(
+                "append"
+            ).partitionBy("segment_id").parquet(paths.tombstones)
+        _delete_path(spark, stage_t)
     _delete_path(spark, purge_stage)
 
     append_manifest(

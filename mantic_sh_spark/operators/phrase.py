@@ -23,36 +23,50 @@ from ..functions.tokenize import tokenize
 from ..sources.catalog import IndexPaths
 
 
-def _term_postings(pdf: pd.DataFrame) -> tuple[np.ndarray, list[np.ndarray]]:
-    """All blocks of one (term, segment) → (doc_ids, per-doc position
-    arrays), concatenated in doc order."""
+def _term_postings(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All blocks of one (term, segment) → (doc_ids, flat positions,
+    offsets): doc j's within-doc positions are flat[off[j]:off[j+1]],
+    concatenated in doc order. Ragged (flat + offsets) rather than a
+    list of per-doc arrays — the verification pass operates on the
+    whole candidate set at once and never touches per-doc Python
+    objects."""
     pdf = pdf.sort_values("first_doc")
     docs_all: list[np.ndarray] = []
-    pos_all: list[np.ndarray] = []
+    flats: list[np.ndarray] = []
+    tfs_all: list[np.ndarray] = []
     for gaps, tfs, dls, posb in zip(pdf["doc_gaps"], pdf["tfs"], pdf["dls"], pdf["positions"]):
         d, tf, _ = decode_block(gaps, tfs, dls)
-        flat, off = decode_positions(posb, tf)
+        flat, _off = decode_positions(posb, tf)
         docs_all.append(d)
-        pos_all.extend(flat[off[j] : off[j + 1]] for j in range(len(d)))
-    return (np.concatenate(docs_all) if docs_all else np.empty(0, dtype=np.int64)), pos_all
+        flats.append(flat)
+        tfs_all.append(tf)
+    if not docs_all:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.zeros(1, dtype=np.int64)
+    docs = np.concatenate(docs_all)
+    flat = np.concatenate(flats)
+    tf = np.concatenate(tfs_all)
+    off = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum(tf, out=off[1:])
+    return docs, flat, off
 
 
-def _match_count(pos_lists: list[np.ndarray], slop: int) -> int:
-    """Number of valid in-order matches: for each start p0 ∈ P_0, greedily
-    take the smallest p_i ∈ P_i with p_i > p_{i-1}; valid when the total
-    stretch (p_m − p0 − m) ≤ slop. Greedy-smallest minimizes the stretch,
-    so this is exact. Vectorized over all starts at once. slop=0 is the
-    exact-adjacency phrase."""
-    p0 = pos_lists[0]
-    prev = p0
-    valid = np.ones(len(p0), dtype=bool)
-    for pi in pos_lists[1:]:
-        idx = np.searchsorted(pi, prev + 1)
-        valid &= idx < len(pi)
-        prev = pi[np.minimum(idx, len(pi) - 1)]
-    m = len(pos_lists) - 1
-    valid &= (prev - p0 - m) <= slop
-    return int(valid.sum())
+# doc-rank stride for the keyed-position trick: doc_rank * _POS_STRIDE +
+# position turns per-doc searchsorted into ONE searchsorted over the
+# whole candidate batch. Positions are within-doc token indexes, far
+# below 2^40; doc ranks are per-(segment, query) candidate counts.
+_POS_STRIDE = np.int64(1) << np.int64(40)
+
+
+def _gather_runs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Ragged gather: concatenate flat[starts[i] : starts[i]+lens[i]]
+    for all i, fully vectorized (repeat/cumsum index trick)."""
+    total = int(lens.sum())
+    if not total:
+        return np.empty(0, dtype=flat.dtype)
+    ends = np.cumsum(lens)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - lens, lens)
+    return flat[np.repeat(starts, lens) + within]
 
 
 def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
@@ -60,7 +74,18 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
                            slop: int = 0) -> list[tuple[int, int]]:
     """One (segment, phrase) evaluation → [(doc_id, n_matches)].
     Shared by the distributed UDF and the serving reader (the same
-    sharing discipline as wand.segment_topk)."""
+    sharing discipline as wand.segment_topk).
+
+    The verification is ONE batched ragged-array pass over ALL
+    candidate docs (review r2: the former per-candidate Python loop was
+    the bottleneck for phrases of common terms, where the candidate set
+    is huge): every start position of the first term across every
+    candidate becomes one element of a keyed array
+    (doc_rank·2^40 + position), and each subsequent term advances ALL
+    elements with a single searchsorted over its keyed candidate runs —
+    the greedy smallest-next-position match, which is exact because
+    greedy minimizes the stretch. n_matches per doc then falls out of
+    one bincount. No per-doc Python anywhere."""
     if not terms or any(t not in by_term for t in terms):
         return []
     decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
@@ -77,22 +102,51 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
             dead[np.minimum(pos_in_dead, len(dead) - 1)] == cand
         )
         cand = cand[~hit]
-    out: list[tuple[int, int]] = []
-    for doc in cand.tolist():
-        pos_lists = []
-        for t in terms:
-            docs_t, pos_t = decoded[t]
-            j = int(np.searchsorted(docs_t, doc))
-            pos_lists.append(pos_t[j])
-        n = _match_count(pos_lists, slop)
-        if n:
-            out.append((doc, n))
-    return out
+    if not len(cand):
+        return []
+
+    nc = len(cand)
+    # per term: the candidate docs' position runs as ONE keyed array
+    # (doc_rank * 2^40 + position, ascending — runs are doc-ordered and
+    # ascending within a doc), plus that keyed array itself for binary
+    # search. Keys make "smallest position > p in THIS doc" a global
+    # searchsorted: a miss walks into the next doc's key range and is
+    # rejected by the rank check.
+    keyed: dict[str, np.ndarray] = {}
+    for t in set(terms):
+        docs_t, flat_t, off_t = decoded[t]
+        idx = np.searchsorted(docs_t, cand)
+        starts, lens = off_t[idx], off_t[idx + 1] - off_t[idx]
+        ranks = np.repeat(np.arange(nc, dtype=np.int64), lens)
+        keyed[t] = ranks * _POS_STRIDE + _gather_runs(flat_t, starts, lens)
+
+    k0 = keyed[terms[0]]
+    doc_rank0 = k0 // _POS_STRIDE
+    p0 = k0 % _POS_STRIDE
+    prev = p0
+    valid = np.ones(len(k0), dtype=bool)
+    for t in terms[1:]:
+        kt = keyed[t]
+        target = doc_rank0 * _POS_STRIDE + prev + 1
+        j = np.searchsorted(kt, target)
+        ok = j < len(kt)
+        hitk = kt[np.minimum(j, len(kt) - 1)]
+        ok &= (hitk // _POS_STRIDE) == doc_rank0
+        valid &= ok
+        prev = hitk % _POS_STRIDE
+    m = len(terms) - 1
+    valid &= (prev - p0 - m) <= slop
+    counts = np.bincount(doc_rank0[valid], minlength=nc)
+    nz = np.flatnonzero(counts)
+    return list(zip(cand[nz].tolist(), counts[nz].tolist()))
 
 
-def _phrase_udf(queries: dict[int, list[str]], dead: np.ndarray | None = None,
+def _phrase_udf(queries: dict[int, list[str]], dead_src=None,
                 slop: int = 0, tid2term: dict[int, str] | None = None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .wand import _load_dead
+
+        dead = _load_dead(dead_src, int(pdf["segment_id"].iloc[0]))
         by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")}
         out_q, out_d, out_n = [], [], []
         for qid, terms in queries.items():
@@ -131,7 +185,7 @@ def phrase_topk(
 
     from .wand import _index_meta, _term_meta
 
-    _n, _a, _bf, dead = _index_meta(spark, paths)
+    _n, _a, _bf, dead_src = _index_meta(spark, paths)
     # resolve term → tid via the terms directory (posting rows carry
     # only the dictionary-encoded key); absent terms simply contribute
     # no postings — the per-segment kernel already requires every
@@ -144,7 +198,7 @@ def phrase_topk(
     if "positions" not in blocks.columns:
         raise ValueError("phrase_topk requires an index built with store_positions=True")
     per_seg = blocks.groupBy("segment_id").applyInPandas(
-        _phrase_udf(q_map, dead if len(dead) else None, slop, tid2term=tid2term),
+        _phrase_udf(q_map, dead_src=dead_src, slop=slop, tid2term=tid2term),
         schema="query_id int, doc_id long, n_matches long",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), F.asc("doc_id"))

@@ -327,14 +327,25 @@ def hash_embed_query(terms: list[str], dim: int = 32) -> list[float]:
 
 
 def semantic_rerank(docs: DataFrame, candidates: DataFrame, query_terms: list[str],
-                    dim: int = 32, k: int = 10) -> DataFrame:
+                    dim: int = 32, k: int = 10, backend=None) -> DataFrame:
     """(doc_id, cos): rerank a candidate set (column doc_id — e.g. the
     BM25 top-N) by embedding cosine against the query (R15). The
     embedding runs ONLY over the candidates (semi-join first): the
-    rerank cost is O(candidates), never a corpus pass."""
+    rerank cost is O(candidates), never a corpus pass.
+
+    `backend` is any functions/embed.py backend (embed_docs +
+    embed_query); None = the deterministic HashingBackend, which keeps
+    this pipeline under the SQL oracle gate. A neural encoder
+    (functions.embed.NeuralBackend / any CallableBackend) drops in with
+    zero change below this line — tests/test_embed.py proves it with a
+    deterministic fake encoder through the same mapInPandas plumbing."""
+    if backend is None:
+        from ..functions.embed import HashingBackend
+
+        backend = HashingBackend(dim)
     cand_docs = docs.join(candidates.select("doc_id"), "doc_id", "left_semi")
-    emb = hashed_embeddings(cand_docs, dim)
-    qv = F.array(*[F.lit(float(x)) for x in hash_embed_query(query_terms, dim)])
+    emb = backend.embed_docs(cand_docs)
+    qv = F.array(*[F.lit(float(x)) for x in backend.embed_query(query_terms)])
     scored = emb.select(
         "doc_id",
         F.round(F.aggregate(F.zip_with("emb", qv, lambda a, b: a * b),

@@ -323,14 +323,26 @@ def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
     return block_max_wand(cursors, k, dead)
 
 
+def _load_dead(dead_src, seg: int) -> "np.ndarray | None":
+    """Per-task liveness: read THIS segment's tombstone partition iff
+    the (metadata-sized) dead_src says the segment has one."""
+    if dead_src is None or seg not in dead_src[1]:
+        return None
+    from .delete import segment_tombstones
+
+    arr = segment_tombstones(dead_src[0], seg)
+    return arr if len(arr) else None
+
+
 def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
               avgdl: float, k: int, k1: float, b: float,
               bound_factors: dict[int, float] | None = None,
-              dead: "np.ndarray | None" = None,
+              dead_src: "tuple[str, frozenset[int]] | None" = None,
               tid2term: dict[int, str] | None = None):
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
         bf = (bound_factors or {}).get(seg, 1.0)
+        dead = _load_dead(dead_src, seg)
         # posting rows carry the int64 tid; translate back to the query
         # term strings via the (query-sized) tid2term closure
         by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")}
@@ -369,7 +381,10 @@ def _cache_key(root: str) -> str:
 
 
 def _index_meta(spark: SparkSession, paths: IndexPaths):
-    """(n_docs, avgdl, bound_factors, tombstone_ids) — memoized."""
+    """(n_docs, avgdl, bound_factors, dead_src) — memoized. dead_src is
+    (tombstones_path, frozenset(segments-with-tombstones)) or None: the
+    liveness CLOSURE is metadata-sized; each task lazily reads only its
+    own segment's tombstone partition (delete.segment_tombstones)."""
     cached = _META_CACHE.get(_cache_key(paths.root))
     if cached is not None:
         return cached
@@ -390,10 +405,12 @@ def _index_meta(spark: SparkSession, paths: IndexPaths):
         )
         for r in rows:
             bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
-    from .delete import tombstone_ids
+    from .delete import tombstone_segments
 
+    dead_segs = tombstone_segments(spark, paths)
+    dead_src = (paths.tombstones, dead_segs) if dead_segs else None
     key = _cache_key(paths.root)
-    _META_CACHE[key] = (n_docs, avgdl, bound_factors, tombstone_ids(spark, paths))
+    _META_CACHE[key] = (n_docs, avgdl, bound_factors, dead_src)
     return _META_CACHE[key]
 
 
@@ -482,7 +499,7 @@ def wand_topk(
     (predicate pushdown on `term` + row-group stats from the
     sort-by-term layout)."""
     paths = IndexPaths(index_dir)
-    n_docs, avgdl, bound_factors, dead = _index_meta(spark, paths)
+    n_docs, avgdl, bound_factors, dead_src = _index_meta(spark, paths)
 
     q_map = {int(qid): tokenize_query(q) for qid, q in queries}
     all_terms = sorted({t for ts in q_map.values() for t in ts})
@@ -509,7 +526,7 @@ def wand_topk(
     )
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors,
-                  dead if len(dead) else None, tid2term=tid2term),
+                  dead_src=dead_src, tid2term=tid2term),
         schema="query_id int, doc_id long, score double",
     )
     return rank_topk(per_seg, k)

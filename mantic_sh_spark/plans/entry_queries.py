@@ -201,7 +201,9 @@ def q_wand_multi(spark, sf_dir):
     from ..operators.index_build import build_index
     from ..operators.wand import wand_topk
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from ..operators.index_build import INDEX_FORMAT
+
+    tag = hashlib.md5(f"{sf_dir}|v{INDEX_FORMAT}".encode()).hexdigest()[:10]
     idx = f"/tmp/mantic_entry_idx_{tag}"
     if not os.path.exists(f"{idx}/build_manifest"):
         pages = (
@@ -238,7 +240,9 @@ def q_phrase_index_topk(spark, sf_dir):
     from ..operators.index_build import build_index
     from ..operators.phrase import phrase_topk
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from ..operators.index_build import INDEX_FORMAT
+
+    tag = hashlib.md5(f"{sf_dir}|v{INDEX_FORMAT}".encode()).hexdigest()[:10]
     idx = f"/tmp/mantic_entry_posidx_{tag}"
     if not os.path.exists(f"{idx}/build_manifest"):
         pages = _docs(spark, sf_dir).select(
@@ -274,7 +278,9 @@ def q_phrase_slop(spark, sf_dir):
     from ..operators.index_build import build_index
     from ..operators.phrase import phrase_topk
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    from ..operators.index_build import INDEX_FORMAT
+
+    tag = hashlib.md5(f"{sf_dir}|v{INDEX_FORMAT}".encode()).hexdigest()[:10]
     idx = f"/tmp/mantic_entry_posidx_{tag}"
     if not os.path.exists(f"{idx}/build_manifest"):
         pages = _docs(spark, sf_dir).select(

@@ -108,10 +108,19 @@ class IndexReader:
                     int(s): max(1.0, self.avgdl / float(v)) for s, v in mins.items()
                 }
 
-        self.dead: np.ndarray | None = None
-        t = self._read_optional(self.paths.tombstones, ["doc_id"])
-        if t is not None and t.num_rows:
-            self.dead = np.unique(t.column("doc_id").to_numpy())
+        # per-SEGMENT liveness: only the metadata-sized set of segments
+        # that have tombstone partitions loads at refresh; each
+        # segment's sorted dead-id array loads lazily on first touch
+        # (and caches until the next refresh). No global tombstone
+        # array exists anywhere in the reader.
+        self._dead_segs: frozenset[int] = frozenset()
+        self._dead_cache: dict[int, np.ndarray] = {}
+        t = self._dataset_or_none(self.paths.tombstones)
+        if t is not None:
+            import pyarrow.compute as pc
+
+            segs = t.to_table(columns=["segment_id"]).column("segment_id")
+            self._dead_segs = frozenset(int(s) for s in pc.unique(segs).to_pylist())
 
         # an empty-corpus index commits only collection_stats + manifest
         # (no postings/terms/docs dirs) — serve it as empty, not a crash
@@ -121,6 +130,7 @@ class IndexReader:
         self._blocks_lru.clear()
         self._pos_lru.clear()
         self._df_cache.clear()
+        self._dead_cache.clear()
 
     @staticmethod
     def _dataset_or_none(path: str):
@@ -174,6 +184,20 @@ class IndexReader:
     def df(self, terms: list[str]) -> dict[str, int]:
         """Global document frequency per term (lazy, cached)."""
         return {t: m[0] for t, m in self._meta(terms).items()}
+
+    def _dead(self, seg: int) -> "np.ndarray | None":
+        """This segment's sorted tombstoned doc ids (None when clean) —
+        lazy per-segment read of the partitioned liveness sidecar."""
+        if seg not in self._dead_segs:
+            return None
+        with self._lock:
+            arr = self._dead_cache.get(seg)
+            if arr is None:
+                from .operators.delete import segment_tombstones
+
+                arr = segment_tombstones(self.paths.tombstones, seg)
+                self._dead_cache[seg] = arr
+        return arr if len(arr) else None
 
     def _fetch_blocks(self, lru: OrderedDict, columns: list[str],
                       terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
@@ -286,7 +310,7 @@ class IndexReader:
                 segment_topk(by_term, qterms, idf_map, self.avgdl, k,
                              self.k1, self.b,
                              bound_factor=self.bound_factors.get(seg, 1.0),
-                             dead=self.dead, stats=stats)
+                             dead=self._dead(seg), stats=stats)
             )
         hits.sort(key=lambda x: (-x[1], x[0]))
         self._record_stats(stats, t0)
@@ -353,7 +377,7 @@ class IndexReader:
             nb = sum(len(g) for g in by_term.values())
             stats["blocks_considered"] += nb
             stats["blocks_decoded"] += nb
-            hits.extend(segment_phrase_matches(by_term, terms, self.dead, slop))
+            hits.extend(segment_phrase_matches(by_term, terms, self._dead(seg), slop))
         hits.sort(key=lambda x: (-x[1], x[0]))
         self._record_stats(stats, t0)
         return hits[:k]

@@ -121,10 +121,97 @@ def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
 
 
 def read_manifest(spark: SparkSession, paths: IndexPaths) -> DataFrame:
-    df = read_or_none(spark, paths.manifest)
+    df = tables_for(spark, paths.root).read("build_manifest")
     if df is None:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
     return df
+
+
+class ParquetTables:
+    """Path-addressed table catalog (the sandbox-exercised form):
+    components are partitioned-parquet dirs under the index root;
+    atomicity comes from Spark's parquet output-commit protocol."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def read(self, name: str) -> DataFrame | None:
+        return read_or_none(self.spark, os.path.join(self.root, name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        df.write.mode("append").parquet(os.path.join(self.root, name))
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(self.root, name))
+
+
+class IcebergTables:
+    """Iceberg-catalog-addressed tables — the cluster deployment form.
+    Components map to `<catalog>.<namespace>.<prefix>_<component>`
+    Iceberg tables; every mutation is a snapshot commit (atomic
+    visibility, time travel), and `merge_into` is the catalog-native
+    form of the upsert fold (A12/A13).
+
+    Real-run recipe (no Iceberg jar ships in this sandbox — the
+    contract test drives this class against a recording fake):
+
+        spark-submit \\
+          --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.0 \\
+          --conf spark.sql.catalog.ice=org.apache.iceberg.spark.SparkCatalog \\
+          --conf spark.sql.catalog.ice.type=hadoop \\
+          --conf spark.sql.catalog.ice.warehouse=s3://bucket/warehouse \\
+          main.py build --pages ... --index iceberg://ice.search.myidx
+    """
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str, prefix: str):
+        self.spark = spark
+        self.catalog, self.namespace, self.prefix = catalog, namespace, prefix
+
+    def ident(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{self.prefix}_{name}"
+
+    def read(self, name: str) -> DataFrame | None:
+        if not self.spark.catalog.tableExists(self.ident(name)):
+            return None
+        return self.spark.table(self.ident(name))
+
+    def append(self, name: str, df: DataFrame) -> None:
+        ident = self.ident(name)
+        if self.spark.catalog.tableExists(ident):
+            df.writeTo(ident).append()
+        else:
+            df.writeTo(ident).using("iceberg").create()
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        df.writeTo(self.ident(name)).using("iceberg").createOrReplace()
+
+    def merge_into(self, name: str, df: DataFrame, key: str = "doc_id",
+                   source_alias: str = "src") -> None:
+        """MERGE INTO <table> USING src ON key — update-else-insert; the
+        snapshot-atomic form of the upsert fold."""
+        ident = self.ident(name)
+        df.createOrReplaceTempView(source_alias)
+        self.spark.sql(
+            f"MERGE INTO {ident} t USING {source_alias} s ON t.{key} = s.{key} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def tables_for(spark: SparkSession, index_dir: str):
+    """Catalog dispatch: `iceberg://<catalog>.<namespace>.<prefix>` →
+    IcebergTables; any filesystem path → ParquetTables. The manifest
+    read/append below routes through this, so the dispatch seam is on
+    every build's hot path (parquet form) and under the contract test
+    (iceberg form)."""
+    if index_dir.startswith("iceberg://"):
+        parts = index_dir[len("iceberg://"):].split(".")
+        if len(parts) != 3:
+            raise ValueError(
+                f"iceberg index ref must be iceberg://<catalog>.<namespace>.<prefix>: {index_dir!r}"
+            )
+        return IcebergTables(spark, *parts)
+    return ParquetTables(spark, index_dir)
 
 
 def append_manifest(spark: SparkSession, paths: IndexPaths, rows: list[dict]) -> None:
@@ -150,8 +237,8 @@ def append_manifest(spark: SparkSession, paths: IndexPaths, rows: list[dict]) ->
     import pandas as pd
 
     pdf = pd.DataFrame(full, columns=[f.name for f in MANIFEST_SCHEMA.fields])
-    spark.createDataFrame(pdf, MANIFEST_SCHEMA).coalesce(1).write.mode("append").parquet(
-        paths.manifest
+    tables_for(spark, paths.root).append(
+        "build_manifest", spark.createDataFrame(pdf, MANIFEST_SCHEMA).coalesce(1)
     )
 
 

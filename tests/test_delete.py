@@ -73,9 +73,9 @@ def test_purge_matches_fresh_build(spark, tmp_path):
 
     # tombstones satisfied, stats re-baselined
     paths = IndexPaths(idx)
-    from mantic_sh_spark.operators.delete import tombstone_ids
+    from mantic_sh_spark.operators.delete import tombstone_count
 
-    assert len(tombstone_ids(spark, paths)) == 0
+    assert tombstone_count(spark, paths) == 0
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
     assert stats.n_docs == 260 - 30
 
@@ -98,12 +98,15 @@ def test_purge_matches_fresh_build(spark, tmp_path):
     assert by_url(idx) == by_url(fresh_dir)
 
 
-def test_purge_with_100k_tombstones(spark, tmp_path):
-    """Scale guard for the purge path: 100k+ tombstones must purge via
-    anti-joins (no 100k-element IN expression, no driver id list in any
-    plan) and still be query-identical to a fresh build. Synthetic
-    tombstones target unoccupied id space inside the source segments'
-    ranges — exercising volume without a 100k-doc corpus."""
+def test_purge_with_million_tombstones(spark, tmp_path):
+    """Scale guard for the delete/purge path (round-3 bar: >=10^6
+    tombstones, NO global id array in any closure): 1.2M tombstones
+    must (a) keep queries correct immediately via the per-segment
+    liveness sidecars — the driver ships only (path, segment-set)
+    metadata — and (b) purge via anti-joins / partition deletes and end
+    query-identical to a fresh build. Synthetic tombstones target
+    unoccupied id space inside the source segments' ranges — exercising
+    volume without a million-doc corpus."""
     import pandas as pd
 
     from mantic_sh_spark.operators.docs import SEG_STRIDE
@@ -117,19 +120,31 @@ def test_purge_with_100k_tombstones(spark, tmp_path):
     victims = [r.doc_id for r in docs_tbl.select("doc_id").orderBy("doc_id").limit(40).collect()]
     victim_urls = {r.url for r in docs_tbl.filter(F.col("doc_id").isin(victims)).collect()}
     delete_docs(spark, idx, doc_ids=victims)
-    # 120k synthetic tombstones in the sources' id ranges, above any
+    # 1.2M synthetic tombstones in the sources' id ranges, above any
     # real doc id (segments own [seg*STRIDE, ...); real count ≤ 400)
-    synth = [int(seg * SEG_STRIDE + 10**6 + i) for seg in (0, 1) for i in range(60_000)]
-    from mantic_sh_spark.operators.delete import delete_docs_df, tombstone_ids
+    synth = [int(seg * SEG_STRIDE + 10**6 + i) for seg in (0, 1) for i in range(600_000)]
+    from mantic_sh_spark.operators.delete import delete_docs_df, tombstone_count
 
     delete_docs_df(
         spark, idx,
         spark.createDataFrame(pd.DataFrame({"doc_id": pd.array(synth, dtype="int64")})),
     )
-    assert len(tombstone_ids(spark, IndexPaths(idx))) == 120_000 + 40
+    assert tombstone_count(spark, IndexPaths(idx)) == 1_200_000 + 40
+
+    # queries stay correct IMMEDIATELY, and the liveness closure is
+    # metadata-sized: _index_meta carries (tombstones_path, seg-set) —
+    # never an id array (tasks read only their own segment's sidecar)
+    from mantic_sh_spark.operators.wand import _index_meta, refresh_meta
+
+    refresh_meta(idx)
+    dead_src = _index_meta(spark, IndexPaths(idx))[3]
+    assert dead_src is not None and isinstance(dead_src[0], str)
+    assert isinstance(dead_src[1], frozenset) and len(dead_src[1]) <= 3
+    live_hits = wand_topk(spark, idx, gen_queries(cfg, n_queries=4), k=5).collect()
+    assert live_hits and not ({r.doc_id for r in live_hits} & set(victims))
 
     merge_segments(spark, idx, [0, 1], dst_segment=7, compact=True, purge=True)
-    assert len(tombstone_ids(spark, IndexPaths(idx))) == 0
+    assert tombstone_count(spark, IndexPaths(idx)) == 0
 
     fresh = str(tmp_path / "fresh")
     build_index(spark, pages.filter(~F.col("url").isin(list(victim_urls))), fresh, n_segments=2)

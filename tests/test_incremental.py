@@ -220,7 +220,7 @@ def test_stream_upsert_mode_with_auto_compact(spark, tmp_path):
     assert len(_list_segments(spark, IndexPaths(idx).postings)) <= 3
 
     docs = spark.read.parquet(f"{idx}/docs")
-    from mantic_sh_spark.operators.delete import live_docs, tombstone_ids
+    from mantic_sh_spark.operators.delete import live_docs, tombstone_df
 
     # the LIVE view is exactly the updated corpus; old modified versions
     # are tombstoned (and physically purged only when a compaction folds
@@ -232,7 +232,8 @@ def test_stream_upsert_mode_with_auto_compact(spark, tmp_path):
     # stats over ALL docs still in the table (incl. tombstoned-unpurged)
     # and excludes dead docs at the heap — so the exhaustive twin scores
     # the full table, then filters to live and truncates to k
-    dead = set(tombstone_ids(spark, IndexPaths(idx)).tolist())
+    t_df = tombstone_df(spark, IndexPaths(idx))
+    dead = set() if t_df is None else {r.doc_id for r in t_df.collect()}
     queries = gen_queries(cfg, n_queries=10) + [(50, "zzrecrawl")]
     all_docs = docs.withColumn("tokens", tokens_col("text"))
     ex_rows = bm25_topk(spark, all_docs, queries, k=6 + len(dead)).orderBy("query_id", "rank").collect()

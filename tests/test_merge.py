@@ -91,7 +91,7 @@ def test_purge_across_compaction_generations(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from mantic_sh_spark.operators.delete import delete_docs, tombstone_ids
+    from mantic_sh_spark.operators.delete import delete_docs, tombstone_count
     from mantic_sh_spark.operators.index_build import _list_segments
     from mantic_sh_spark.operators.wand import wand_topk
     from mantic_sh_spark.sources.catalog import IndexPaths
@@ -127,7 +127,7 @@ def test_purge_across_compaction_generations(spark, tmp_path):
     delete_docs(spark, idx, doc_ids=victims)
 
     merge_segments(spark, idx, [dst1], dst_segment=9, compact=True, purge=True)
-    assert len(tombstone_ids(spark, paths)) == 0, "tombstones must purge across generations"
+    assert tombstone_count(spark, paths) == 0, "tombstones must purge across generations"
     remaining_ids = {r.doc_id for r in spark.read.parquet(paths.docs).select("doc_id").collect()}
     assert not (remaining_ids & set(victims)), "purged docs rows must leave the docs table"
     stats = spark.read.parquet(paths.collection_stats).collect()[0]

@@ -97,7 +97,7 @@ def test_positional_merge_purge_preserves_phrases(spark, tmp_path):
     """Full LSM composition on a positional index: delete docs, merge
     all segments with compact+purge, and phrase results must equal the
     token-scan oracle over the REMAINING corpus."""
-    from mantic_sh_spark.operators.delete import delete_docs, tombstone_ids
+    from mantic_sh_spark.operators.delete import delete_docs, tombstone_count
     from mantic_sh_spark.operators.merge import merge_segments
     from mantic_sh_spark.sources.catalog import IndexPaths
 
@@ -113,7 +113,7 @@ def test_positional_merge_purge_preserves_phrases(spark, tmp_path):
     victims = [int(r.doc_id) for r in docs[:20]]
     delete_docs(spark, idx, doc_ids=victims)
     merge_segments(spark, idx, [0, 1], dst_segment=4, compact=True, purge=True)
-    assert len(tombstone_ids(spark, IndexPaths(idx))) == 0
+    assert tombstone_count(spark, IndexPaths(idx)) == 0
 
     remaining = [(r.doc_id, r.text) for r in docs if r.doc_id not in set(victims)]
     got = [(r.doc_id, r.n_matches) for r in
