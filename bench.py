@@ -145,22 +145,47 @@ def _jvmcal_phase(cores: int, pages_path: str) -> dict:
     single-box Spark job can reach on this hardware (JVM allocation
     traffic saturates the shared memory bus well before the
     python-multiprocessing CPU burn does); report the build's
-    efficiency against THIS ceiling."""
+    efficiency against THIS ceiling.
+
+    Also measures the ARROW-BOUNDARY cost: the same stage through a
+    pass-through mapInArrow (rows cross JVM→Python→JVM untouched). The
+    delta vs the JVM-only count is the per-box price of the Python
+    runner — measured NEARLY FLAT across threads in one JVM but scaling
+    across separate executor JVMs (1→4 execs: 18.8 s → 7.9 s for the
+    same data), i.e. a single-JVM artifact a real cluster doesn't have.
+    `efficiency_excl_arrow_boundary` in the output backs the build's
+    scaling out of it."""
     from pyspark.sql import functions as F
 
     from mantic_sh_spark.functions.tokenize import tokens_col
-    from mantic_sh_spark.operators.index_build import _term_tf_pairs
+    from mantic_sh_spark.operators.index_build import _term_tf_pairs, tid_col
     from mantic_sh_spark.session import get_spark
 
     spark = get_spark(cores=cores, app_name=f"bench-jvmcal-{cores}", shuffle_partitions=SHUFFLE)
-    pages = spark.read.parquet(pages_path).withColumn("tokens", tokens_col("text"))
-    toks = pages.select(F.explode(_term_tf_pairs("tokens")).alias("p"))
+    pages = (
+        spark.read.parquet(pages_path)
+        .withColumn("tokens", tokens_col("text"))
+        .withColumn("doc_id", F.xxhash64("url"))  # pages have no ids; shape only
+        .withColumn("doc_len", F.size("tokens"))
+    )
+    toks = pages.select("doc_id", "doc_len", F.explode(_term_tf_pairs("tokens")).alias("p")).select(
+        "doc_id", "doc_len", tid_col(F.col("p.term")).alias("tid"), F.col("p.tf").alias("tf")
+    )
     toks.limit(1).count()  # warm the scan path
     t0 = time.time()
     n = toks.count()
     dt = time.time() - t0
+
+    def passthrough(batches):
+        for rb in batches:
+            yield rb
+
+    t0 = time.time()
+    toks.mapInArrow(passthrough, schema="doc_id long, doc_len int, tid long, tf int").count()
+    dt_pt = time.time() - t0
     spark.stop()
-    return {"cores": cores, "seconds": dt, "rows_per_sec": n / dt}
+    return {"cores": cores, "seconds": dt, "rows_per_sec": n / dt,
+            "arrow_boundary_s": max(0.0, dt_pt - dt)}
 
 
 def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
@@ -328,6 +353,16 @@ def main() -> None:
     jlo = max(jlo_runs, key=lambda r: r["rows_per_sec"])
     jhi = max(jhi_runs, key=lambda r: r["rows_per_sec"])
     jvm_ceiling = (jhi["rows_per_sec"] / jlo["rows_per_sec"]) / (HI_CPUS / LO_CPUS)
+    # Arrow JVM↔Python boundary (pass-through mapInArrow minus JVM-only
+    # count): a near-FLAT per-box cost across thread counts in ONE JVM
+    # that scales across separate executor JVMs — subtracting it from
+    # both build times shows what the job's scaling looks like once the
+    # single-JVM python-runner artifact is removed (best/min-of-2)
+    ab_lo = min(r["arrow_boundary_s"] for r in jlo_runs)
+    ab_hi = min(r["arrow_boundary_s"] for r in jhi_runs)
+    ex_lo = max(0.1, lo["seconds"] - ab_lo)
+    ex_hi = max(0.1, hi["seconds"] - ab_hi)
+    eff_excl_boundary = (ex_lo / ex_hi) / (HI_CPUS / LO_CPUS)
     ceiling = _machine_ceiling(LO_CPUS, HI_CPUS)
     membw = _memory_bandwidth(LO_CPUS, HI_CPUS)
 
@@ -371,6 +406,9 @@ def main() -> None:
             "machine_ceiling_spark_jvm": round(jvm_ceiling, 4),
             "efficiency_vs_jvm_ceiling": round(efficiency / jvm_ceiling, 4),
             "cluster_efficiency_vs_jvm_ceiling": round(cl_efficiency / jvm_ceiling, 4),
+            "arrow_boundary_s_lo": round(ab_lo, 2),
+            "arrow_boundary_s_hi": round(ab_hi, 2),
+            "efficiency_excl_arrow_boundary": round(eff_excl_boundary, 4),
             "machine_ceiling_cpu": round(ceiling, 4),
             "efficiency_vs_cpu_ceiling": round(efficiency / ceiling, 4),
             **membw,

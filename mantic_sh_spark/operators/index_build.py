@@ -533,27 +533,23 @@ def build_term_dictionary(spark: SparkSession, index_dir: str) -> int:
         .agg(F.count(F.lit(1)).alias("df"))
         .withColumn("tid", tid_col("term"))
     )
-    staging = f"{paths.root}/term_dictionary_tmp"
-    _delete_path(spark, staging)
+    _delete_path(spark, paths.term_dict)
     vocab.repartitionByRange(16, "term").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).parquet(staging)
-    staged = spark.read.parquet(staging)
-    counts = staged.agg(
+    ).parquet(paths.term_dict)
+    written = spark.read.parquet(paths.term_dict)
+    counts = written.agg(
         F.count(F.lit(1)).alias("n"), F.countDistinct("tid").alias("nt")
     ).collect()[0]
     if counts.n != counts.nt:
+        # fail LOUDLY and leave no half-trusted sidecar behind
+        _delete_path(spark, paths.term_dict)
         raise RuntimeError(
             f"xxhash64 term-id collision: {counts.n} distinct terms map to "
             f"{counts.nt} distinct tids — the colliding terms' posting lists "
             "would merge silently; rebuild with a different tokenization or "
             "report the colliding pair"
         )
-    _delete_path(spark, paths.term_dict)
-    staged.repartitionByRange(16, "term").sortWithinPartitions("term").write.mode(
-        "overwrite"
-    ).parquet(paths.term_dict)
-    _delete_path(spark, staging)
     return int(counts.n)
 
 

@@ -299,10 +299,9 @@ def merge_segments(
 
     if purge_df is not None:
         _purge_docs_and_stats(spark, paths, purge_df, srcs)
-    elif purge_segs := [
-        s for s in srcs
-        if s in {int(x) for x in _live_tombstone_segments(spark, paths)}
-    ]:
+    elif purge_segs := sorted(
+        set(srcs) & {int(x) for x in _live_tombstone_segments(spark, paths)}
+    ):
         # merge WITHOUT purge: postings (and norms) moved to dst, so the
         # src segments' tombstones must re-home under the dst partition
         # or later purges and per-segment liveness reads would miss them
@@ -342,6 +341,10 @@ def merge_segments(
         ]
         + [{"segment_id": s, "stage": "merge", "status": "merged"} for s in srcs if s != dst_segment],
     )
+    # a purge may have removed vocabulary; drop the optional dictionary
+    # sidecar (rebuilt on next fuzzy use)
+    if purge_df is not None:
+        _delete_path(spark, paths.term_dict)
     from .wand import refresh_meta
 
     refresh_meta(index_dir)

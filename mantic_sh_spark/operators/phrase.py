@@ -53,9 +53,12 @@ def _term_postings(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarra
 
 # doc-rank stride for the keyed-position trick: doc_rank * _POS_STRIDE +
 # position turns per-doc searchsorted into ONE searchsorted over the
-# whole candidate batch. Positions are within-doc token indexes, far
-# below 2^40; doc ranks are per-(segment, query) candidate counts.
-_POS_STRIDE = np.int64(1) << np.int64(40)
+# whole candidate batch. Positions are within-doc token indexes (< 2^31
+# — doc_len is int32), so a 2^32 stride leaves 2^31 rank headroom
+# before int64 overflow: up to ~2.1e9 candidate docs per (segment,
+# query), guarded explicitly below (overflow would silently corrupt
+# the sort order, not raise).
+_POS_STRIDE = np.int64(1) << np.int64(32)
 
 
 def _gather_runs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
@@ -81,7 +84,7 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
     the bottleneck for phrases of common terms, where the candidate set
     is huge): every start position of the first term across every
     candidate becomes one element of a keyed array
-    (doc_rank·2^40 + position), and each subsequent term advances ALL
+    (doc_rank·2^32 + position), and each subsequent term advances ALL
     elements with a single searchsorted over its keyed candidate runs —
     the greedy smallest-next-position match, which is exact because
     greedy minimizes the stretch. n_matches per doc then falls out of
@@ -106,8 +109,10 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
         return []
 
     nc = len(cand)
+    if nc >= (1 << 31):  # keyed-searchsorted rank headroom (see _POS_STRIDE)
+        raise ValueError(f"phrase candidate set too large for one segment pass: {nc}")
     # per term: the candidate docs' position runs as ONE keyed array
-    # (doc_rank * 2^40 + position, ascending — runs are doc-ordered and
+    # (doc_rank * 2^32 + position, ascending — runs are doc-ordered and
     # ascending within a doc), plus that keyed array itself for binary
     # search. Keys make "smallest position > p in THIS doc" a global
     # searchsorted: a miss walks into the next doc's key range and is

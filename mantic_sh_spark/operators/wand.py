@@ -481,11 +481,6 @@ def _term_meta(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict
     return {t: cache[t] for t in terms}
 
 
-def _term_dfs(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict[str, int]:
-    """Global df per query term (compat shim over _term_meta)."""
-    return {t: m[0] for t, m in _term_meta(spark, paths, terms).items()}
-
-
 def wand_topk(
     spark: SparkSession,
     index_dir: str,

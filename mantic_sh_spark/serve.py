@@ -73,12 +73,24 @@ class IndexReader:
         self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
         self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
         self._df_cache: dict[str, tuple[int, int]] = {}  # term → (df, tid)
-        self.truncated = False  # last topk() hit its budget_ms deadline
+        # truncated is THREAD-LOCAL: under serve_loop concurrency each
+        # worker thread must see its own query's ST4 flag, not a racing
+        # neighbor's (review r3 finding)
+        self._tls = threading.local()
         self.last_stats: dict = {}  # read-amp counters of the last query
         self.totals: dict = {"queries": 0, "segments_touched": 0,
                              "blocks_considered": 0, "blocks_decoded": 0,
                              "terms_cold": 0}
         self.refresh()
+
+    @property
+    def truncated(self) -> bool:
+        """Did THIS thread's last topk() hit its budget_ms deadline."""
+        return getattr(self._tls, "truncated", False)
+
+    @truncated.setter
+    def truncated(self, value: bool) -> None:
+        self._tls.truncated = bool(value)
 
     # ---------------------------------------------------------- metadata
     def refresh(self) -> None:
@@ -131,6 +143,12 @@ class IndexReader:
         self._pos_lru.clear()
         self._df_cache.clear()
         self._dead_cache.clear()
+        # counters restart with the new index state (counters() promises
+        # totals "since construction/refresh")
+        self.last_stats = {}
+        self.totals = {"queries": 0, "segments_touched": 0,
+                       "blocks_considered": 0, "blocks_decoded": 0,
+                       "terms_cold": 0}
 
     @staticmethod
     def _dataset_or_none(path: str):
@@ -220,20 +238,26 @@ class IndexReader:
                     out[t] = hit
                 else:
                     missing.append(t)
-            if missing:
-                if stats is not None:
-                    stats["terms_cold"] = stats.get("terms_cold", 0) + len(missing)
-                meta = self._meta(missing)
-                tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
-                if tid2term:
-                    tbl = self._postings.to_table(
-                        filter=ds.field("tid").isin(list(tid2term)), columns=columns
-                    )
-                    pdf = tbl.to_pandas()
-                else:
-                    import pandas as pd
+            postings = self._postings
+        if missing:
+            # the parquet fetch runs OUTSIDE the lock — a cold-term read
+            # must not serialize concurrent LRU-hit queries (review r3
+            # finding); two threads racing on the same term both fetch
+            # and install identical frames (idempotent)
+            if stats is not None:
+                stats["terms_cold"] = stats.get("terms_cold", 0) + len(missing)
+            meta = self._meta(missing)
+            tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
+            if tid2term:
+                tbl = postings.to_table(
+                    filter=ds.field("tid").isin(list(tid2term)), columns=columns
+                )
+                pdf = tbl.to_pandas()
+            else:
+                import pandas as pd
 
-                    pdf = pd.DataFrame({c: [] for c in columns})
+                pdf = pd.DataFrame({c: [] for c in columns})
+            with self._lock:
                 found = set()
                 for tid, g in pdf.groupby("tid"):
                     t = tid2term[int(tid)]
@@ -247,7 +271,7 @@ class IndexReader:
                         out[t] = lru[t]
                 while len(lru) > self.max_hot_terms:
                     lru.popitem(last=False)
-            return out
+        return out
 
     def _blocks(self, terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
         """term → pandas blocks frame (with segment_id), LRU-cached."""

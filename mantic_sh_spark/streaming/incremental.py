@@ -102,8 +102,14 @@ def extend_index(
         paths,
         [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": row.n_docs, "started_at": t0}],
     )
+    from ..operators.index_build import _delete_path
     from ..operators.wand import refresh_meta
 
+    # the optional (term, tid, df) vocabulary sidecar no longer covers
+    # the new segments' vocabulary — drop it; fuzzy expansion rebuilds
+    # on next use (review r3 finding: a stale dictionary silently
+    # misses post-build terms)
+    _delete_path(spark, paths.term_dict)
     refresh_meta(index_dir)
     return segs
 
@@ -137,18 +143,20 @@ def upsert_pages(
 
     from ..operators.delete import live_docs
 
-    def _latest_per_url(df: DataFrame, order_col) -> DataFrame:
-        w = Window.partitionBy("url").orderBy(order_col)
+    def _latest_per_url(df: DataFrame, *order_cols) -> DataFrame:
+        w = Window.partitionBy("url").orderBy(*order_cols)
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
-    # dedupe the incoming batch by url (keep the latest row by warc_ts
-    # when present): a url appearing twice in one batch would fan out
-    # the fingerprint join, inflate added/modified counts, and fold the
-    # same page in twice as duplicate docs
+    # dedupe the incoming batch by url — keep the latest row by warc_ts
+    # with a CONTENT tiebreak (md5(text)) so ties pick the same row on
+    # every run regardless of task scheduling (the determinism contract
+    # build_docs documents): a url appearing twice in one batch would
+    # otherwise fan out the fingerprint join, inflate added/modified
+    # counts, and fold nondeterministic content
     if "warc_ts" in pages.columns:
-        pages = _latest_per_url(pages, F.desc_nulls_last("warc_ts"))
+        pages = _latest_per_url(pages, F.desc_nulls_last("warc_ts"), F.md5("text"))
     else:
-        pages = pages.dropDuplicates(["url"])
+        pages = _latest_per_url(pages, F.md5("text"))
 
     # live view only: a url modified in an EARLIER upsert still has its
     # tombstoned old row in the docs table until purge — joining against
@@ -160,7 +168,7 @@ def upsert_pages(
         live_docs(spark.read.parquet(paths.docs), spark, paths).select(
             "url", "doc_id", F.md5("text").alias("old_fp")
         ),
-        F.desc("doc_id"),
+        F.desc("doc_id"),  # doc ids are unique — already deterministic
     )
     # the pages ⋈ docs fingerprint join is the dominant cost and feeds
     # FOUR consumers (counts, tombstone write, tombstone count, delta
