@@ -160,3 +160,44 @@ def test_purge_across_compaction_generations(spark, tmp_path):
         return out
 
     assert normalize(by_url(idx)) == normalize(by_url(fresh))
+
+
+def test_tombstones_rehome_on_nonpurge_merge(spark, tmp_path):
+    """Round-3 liveness invariant: tombstones live in the partition of
+    their postings-OWNING segment. A merge WITHOUT purge moves postings
+    (and norms) to the dst segment, so the src segments' tombstone
+    partitions must re-home under dst — otherwise per-segment liveness
+    reads and later purges would miss them."""
+    from mantic_sh_spark.operators.delete import delete_docs, tombstone_count
+    from mantic_sh_spark.operators.index_build import _list_segments
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    cfg = SynthConfig(n_docs=240, vocab_size=200, seed=47)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=3)
+    paths = IndexPaths(idx)
+    queries = gen_queries(cfg, n_queries=8)
+
+    before = wand_topk(spark, idx, queries, k=5).collect()
+    victims = sorted({r.doc_id for r in before})[:5]
+    delete_docs(spark, idx, doc_ids=victims)
+    owned_before = sorted(_list_segments(spark, paths.tombstones))
+    assert owned_before and all(s >= 0 for s in owned_before)
+
+    # fold ALL segments, compact but NO purge: tombstones must survive,
+    # re-homed under the new dst partition
+    dst = merge_segments(spark, idx, [0, 1, 2], dst_segment=9,
+                         compact=True, purge=False)
+    assert dst == 9
+    assert sorted(_list_segments(spark, paths.tombstones)) == [9]
+    assert tombstone_count(spark, paths) == len(victims)
+
+    # queries still exclude the deleted docs (per-segment liveness read
+    # now comes from the dst partition)
+    after = wand_topk(spark, idx, queries, k=5).collect()
+    assert after and not ({r.doc_id for r in after} & set(victims))
+
+    # and a later purge-merge of the dst still satisfies them
+    merge_segments(spark, idx, [9], dst_segment=12, compact=True, purge=True)
+    assert tombstone_count(spark, paths) == 0
