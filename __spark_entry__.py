@@ -5,7 +5,7 @@ queries()      — one Spark callable per implemented operator
                  (SURVEY.md §2 inventory; see
                  mantic_sh_spark/plans/entry_queries.py).
 oracle_sql()   — DuckDB-equivalent ANSI SQL for each query (the
-                 correctness gate). All 48 queries() entries carry an
+                 correctness gate). All 49 queries() entries carry an
                  oracle — including the full index round-trips
                  wand_multi (compressed postings + Block-Max WAND),
                  phrase_index_topk (positional postings + exact-phrase

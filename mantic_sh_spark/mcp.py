@@ -52,6 +52,8 @@ TOOLS = [
                            "description": "exact in-order phrase match (positional index)"},
                 "slop": {"type": "integer", "default": 0,
                          "description": "max extra tokens a phrase match may stretch"},
+                "snippets": {"type": "boolean", "default": True,
+                             "description": "include a context window around the first hit"},
                 "budgetMs": {"type": "number",
                              "description": "soft deadline; partial results are flagged"},
             },
@@ -123,6 +125,7 @@ class McpServer:
                 phrase=bool(args.get("phrase", False)),
                 slop=int(args.get("slop", 0)),
                 budget_ms=float(budget) if budget is not None else None,
+                with_snippets=bool(args.get("snippets", True)),
             )
             payload = {
                 "results": results,

@@ -1014,6 +1014,47 @@ ORDER BY cos DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_near_dup_exact(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs — the EXACT all-pairs
+    baseline the LSH-bucketed scale path (similarity.
+    embedding_near_dup_pairs) approximates. Oracle-scale only by
+    design: a<b self-join with the cosine as a Catalyst zip_with/
+    aggregate fold (no UDF); at production scale the bucketed variant
+    bounds candidates. Threshold 0.4 is calibrated to the synthetic
+    embeddings table (its clusters top out at cos ≈ 0.51)."""
+    emb = _emb(spark, sf_dir)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(
+        c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 4)
+    return pairs.select("a", "b", cos.alias("cos")).filter(F.col("cos") >= 0.4)
+
+
+SQL_NEAR_DUP_EXACT = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(
+         list_sum(list_transform(range(1, len(x.embedding) + 1),
+             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+         4) AS cos
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE round(
+         list_sum(list_transform(range(1, len(x.embedding) + 1),
+             i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+          * sqrt(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
+         4) >= 0.4
+"""
+
+
 def q_tiered_rank(spark, sf_dir):
     """R1 exact-match tiers under the oracle gate (opt-in mode): tier 0
     = ALL query terms inside the title window (first 8 tokens), tier 1
@@ -1144,6 +1185,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "near_dup_exact": (q_near_dup_exact, SQL_NEAR_DUP_EXACT),
     "semantic_rerank": (q_semantic_rerank, _sql_semantic_rerank()),
     "tiered_rank": (q_tiered_rank, _sql_tiered_rank()),
     "fuzzy_closest": (q_fuzzy_closest, SQL_FUZZY_CLOSEST),

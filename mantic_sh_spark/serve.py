@@ -291,6 +291,40 @@ class IndexReader:
         d = tbl.to_pydict()
         return dict(zip(d["doc_id"], d["url"]))
 
+    def snippets(self, doc_ids: list[int], terms: list[str],
+                 width: int = 160) -> dict[int, str]:
+        """doc_id → context snippet: a ~`width`-char window of the doc
+        text centered on the first query-term occurrence (the
+        reference's context-formatter surface, src/context-formatter.ts
+        — matched-line context around each hit). One row-group-pruned
+        read for the ≤k result docs; O(k) driver-side string work."""
+        import pyarrow.dataset as ds
+
+        if not doc_ids or self._docs is None:
+            return {}
+        tbl = self._docs.to_table(
+            filter=ds.field("doc_id").isin(sorted(doc_ids)), columns=["doc_id", "text"]
+        )
+        d = tbl.to_pydict()
+        needles = [t.lower() for t in terms if t]
+        out: dict[int, str] = {}
+        for doc_id, text in zip(d["doc_id"], d["text"]):
+            low = (text or "").lower()
+            pos = -1
+            for t in needles:
+                p = low.find(t)
+                if p >= 0 and (pos < 0 or p < pos):
+                    pos = p
+            if pos < 0:
+                pos = 0  # phrase-normalized forms may not substring-match
+            start = max(0, pos - width // 2)
+            end = min(len(text), start + width)
+            snip = text[start:end].strip()
+            out[int(doc_id)] = (
+                ("…" if start > 0 else "") + snip + ("…" if end < len(text) else "")
+            )
+        return out
+
     # ---------------------------------------------------------- queries
     def topk(self, query: str, k: int = 10,
              budget_ms: float | None = None) -> list[tuple[int, float]]:
@@ -408,17 +442,24 @@ class IndexReader:
 
     def search(self, query: str, k: int = 10, with_urls: bool = False,
                phrase: bool = False, slop: int = 0,
-               budget_ms: float | None = None) -> list[dict]:
+               budget_ms: float | None = None,
+               with_snippets: bool = False, snippet_width: int = 160) -> list[dict]:
         if phrase:
             hits = self.phrase_topk(query, k, slop=slop)
             key = "n_matches"
         else:
             hits = self.topk(query, k, budget_ms=budget_ms)
             key = "score"
-        url_map = self.urls([d for d, _ in hits]) if with_urls else {}
+        ids = [d for d, _ in hits]
+        url_map = self.urls(ids) if with_urls else {}
+        snip_map = (
+            self.snippets(ids, tokenize_query(query), width=snippet_width)
+            if with_snippets else {}
+        )
         return [
             {"rank": i + 1, "doc_id": d, key: s,
-             **({"url": url_map.get(d)} if with_urls else {})}
+             **({"url": url_map.get(d)} if with_urls else {}),
+             **({"snippet": snip_map.get(d)} if with_snippets else {})}
             for i, (d, s) in enumerate(hits)
         ]
 
@@ -496,6 +537,7 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
 
     Request per line:
       {"q": "spark join", "k": 10, "urls": true}   → BM25 search
+      {"q": "spark join", "snippets": true}          → + context windows
       {"q": "spark join", "phrase": true, "slop": 2} → positional phrase
       {"q": ..., "id": 7}                          → id echoed in response
       {"op": "stats"}                              → read-amp counters
@@ -536,7 +578,8 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                                     with_urls=bool(req.get("urls", False)),
                                     phrase=bool(req.get("phrase", False)),
                                     slop=int(req.get("slop", 0)),
-                                    budget_ms=float(budget) if budget is not None else None)
+                                    budget_ms=float(budget) if budget is not None else None,
+                                    with_snippets=bool(req.get("snippets", False)))
             ms = round((time.time() - t0) * 1e3, 2)
             with served_lock:
                 served += 1

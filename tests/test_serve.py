@@ -229,8 +229,12 @@ def test_mcp_round_trip(spark, small_corpus):
     # search_files call: content payload matches the reader directly
     content = json.loads(by_id[3]["result"]["content"][0]["text"])
     reader = IndexReader(idx)
-    want = reader.search("w1x w5x", k=5, with_urls=True)
+    want = reader.search("w1x w5x", k=5, with_urls=True, with_snippets=True)
     assert content["results"] == json.loads(json.dumps(want))
+    # snippets default ON over MCP (agents want context, like the
+    # reference's context-formatter output): window contains a hit term
+    assert all("w1x" in r["snippet"] or "w5x" in r["snippet"]
+               for r in content["results"])
     assert by_id[3]["result"]["isError"] is False
     # stats carries corpus + read-amp counters
     st = json.loads(by_id[4]["result"]["content"][0]["text"])
@@ -322,3 +326,30 @@ def test_serve_loop_concurrent_ids(spark, small_corpus):
         want = [{"rank": j + 1, "doc_id": d, "score": s}
                 for j, (d, s) in enumerate(reader.topk(q, 5))]
         assert resps[i]["results"] == json.loads(json.dumps(want)), q
+
+
+def test_snippets(spark, small_corpus):
+    """Context windows (reference: src/context-formatter.ts — matched
+    context around each hit): a ~width-char window centered on the
+    first query-term occurrence, ellipsized at cut edges, served from
+    one row-group-pruned docs read."""
+    import json
+
+    from mantic_sh_spark.serve import IndexReader, serve_loop
+
+    idx = small_corpus["index_dir"]
+    reader = IndexReader(idx)
+    res = reader.search("w1x w5x", k=5, with_snippets=True, snippet_width=80)
+    assert len(res) == 5
+    for r in res:
+        s = r["snippet"]
+        assert ("w1x" in s) or ("w5x" in s), s
+        assert len(s) <= 80 + 2  # width + ellipses
+    # serve loop surface
+    import io
+
+    stdin = io.StringIO('{"q": "w1x w5x", "k": 3, "snippets": true}\n{"op": "quit"}\n')
+    stdout = io.StringIO()
+    serve_loop(idx, stdin=stdin, stdout=stdout)
+    resp = json.loads(stdout.getvalue().splitlines()[0])
+    assert all("snippet" in r for r in resp["results"])
