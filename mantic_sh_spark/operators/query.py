@@ -171,7 +171,14 @@ def tiered_topk(
     BM25 rank-identity path is untouched (this is a separate mode).
 
     Catalyst containment check: size(array_except(qterms, field)) == 0
-    — JVM-side, no UDF; the tier column costs one projection."""
+    — JVM-side, no UDF; the tier column costs one projection.
+
+    NOT a serving path: the tier assignment is a full-corpus pass per
+    query batch (the reference scans everything per query too). It is
+    an analytics/batch-rerank mode; a latency-bound deployment would
+    materialize a title-window posting index (the same build keyed on
+    slice(tokens, 1, W)) and intersect it query-side, exactly like the
+    body index — the tier SEMANTICS here are the contract either way."""
     qterms = query_terms_df(spark, queries)
     scores = bm25_scores(docs, qterms, k1, b)
     qsets = (
