@@ -243,10 +243,12 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
     # phrase verification (candidate set ≈ the whole corpus; r3 review
     # item: one ragged-array pass, no per-doc Python loop). ~100k-doc
     # deterministic slice of the bench corpus, built once per work dir.
-    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.index_build import INDEX_FORMAT, build_index
     from pyspark.sql import functions as F
 
-    pos_idx = index_dir + "_pos"
+    # cache key carries the on-disk format version: a format bump must
+    # rebuild this cached index, not silently reuse the old layout
+    pos_idx = f"{index_dir}_pos_v{INDEX_FORMAT}"
     if not os.path.exists(f"{pos_idx}/postings/segment_id=0"):
         spark2 = get_spark(cores=cores, app_name="bench-posbuild", shuffle_partitions=16)
         sub = spark2.read.parquet(pages_path).filter(
