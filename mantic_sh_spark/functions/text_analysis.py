@@ -46,15 +46,34 @@ def stopword_ratio_col(toks: Column) -> Column:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """(doc_id, quality): 0.4·min(1, n_tokens/100) + 0.3·stopword_ratio
-    + 0.3·distinct_ratio — the P7/R-series additive-prior shape."""
+    + 0.3·distinct_ratio — the P7/R-series additive-prior shape.
+
+    The score is a RATIONAL (all inputs are token counts), so the
+    4-decimal rounding happens in exact int64 space:
+      quality = ((20000·num + den) DIV (2·den)) / 10000
+    with num = 4·min(n,100)·n + 300·(n_stop + n_dist), den = 1000·n —
+    half-up on the exact value. Summing three rounded doubles and then
+    rounding (the naive form) differs between engines by 1 ulp at
+    half-boundaries; one row at sf0.1 hit exactly that (0.2327 vs
+    0.2328 against the DuckDB twin). Integer rounding is
+    engine-independent by construction."""
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
     t = docs.withColumn("toks", _toks())
     n = F.size("toks")
-    q = (
-        F.lit(0.4) * F.least(F.lit(1.0), n / F.lit(100.0))
-        + F.lit(0.3) * stopword_ratio_col(F.col("toks"))
-        + F.lit(0.3) * F.when(n > 0, F.size(F.array_distinct("toks")) / n).otherwise(F.lit(0.0))
+    n_stop = F.size(F.filter(F.col("toks"), lambda x: F.array_contains(sw, x)))
+    n_dist = F.size(F.array_distinct("toks"))
+    staged = t.select(
+        "doc_id",
+        n.alias("_n"),
+        (F.lit(4) * F.least(n, F.lit(100)) * n + F.lit(300) * (n_stop + n_dist))
+        .cast("long").alias("_num"),
+        (F.lit(1000) * n).cast("long").alias("_den"),
     )
-    return t.select("doc_id", F.round(q, 4).alias("quality"))
+    q = F.when(
+        F.col("_n") > 0,
+        F.expr("(20000 * _num + _den) DIV (2 * _den)") / F.lit(10000.0),
+    ).otherwise(F.lit(0.0))
+    return staged.select("doc_id", q.alias("quality"))
 
 
 def quality_filter(docs: DataFrame, min_tokens: int = 20, max_tokens: int = 100000,

@@ -532,17 +532,24 @@ def q_quality_score(spark, sf_dir):
     return quality_score(_docs(spark, sf_dir))
 
 
+# 4-decimal rounding is done in exact int64 space on BOTH engines
+# (half-up on the exact rational) — floating-point association at
+# half-boundaries differs between engines by 1 ulp otherwise
 SQL_QUALITY_SCORE = f"""
 WITH t AS (SELECT doc_id, {TOK} AS toks FROM documents),
 m AS (SELECT doc_id, len(toks) AS n,
              len(list_filter(toks, x -> list_contains({_SW}, x))) AS n_stop,
              len(list_distinct(toks)) AS n_dist
-      FROM t)
+      FROM t),
+s AS (SELECT doc_id, n,
+             4 * least(n, 100) * n + 300 * (n_stop + n_dist) AS num,
+             1000 * n AS den
+      FROM m)
 SELECT doc_id,
-       round(0.4 * least(1.0, n / 100.0)
-           + 0.3 * (CASE WHEN n > 0 THEN n_stop * 1.0 / n ELSE 0.0 END)
-           + 0.3 * (CASE WHEN n > 0 THEN n_dist * 1.0 / n ELSE 0.0 END), 4) AS quality
-FROM m
+       CASE WHEN n > 0
+            THEN ((20000 * num + den) // (2 * den)) / 10000.0
+            ELSE 0.0 END AS quality
+FROM s
 """
 
 
