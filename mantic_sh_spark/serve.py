@@ -538,6 +538,7 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
     Request per line:
       {"q": "spark join", "k": 10, "urls": true}   → BM25 search
       {"q": "spark join", "snippets": true}          → + context windows
+      {"q": "spark join", "stats": true}             → + read-amp counters
       {"q": "spark join", "phrase": true, "slop": 2} → positional phrase
       {"q": ..., "id": 7}                          → id echoed in response
       {"op": "stats"}                              → read-amp counters
@@ -586,6 +587,10 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                 if qlog is not None:
                     qlog.record(req["q"], req.get("k", 10), results, ms)
             resp = {"results": results, "ms": ms}
+            if req.get("stats"):
+                # per-request read-amplification counters inline
+                # (op:stats returns the cumulative view)
+                resp["stats"] = dict(reader.last_stats)
             if reader.truncated:
                 resp["truncated"] = True  # ST4: partial answer, deadline hit
             if "id" in req:

@@ -294,11 +294,13 @@ def test_read_amplification_counters(spark, small_corpus):
     assert reader.counters()["last"]["terms_cold"] == 0  # hot now
     assert reader.counters()["total"]["queries"] == 2
 
-    # the serve loop surfaces the same counters (op: stats)
-    stdin = io.StringIO('{"q": "w1x w5x"}\n{"op": "stats"}\n{"op": "quit"}\n')
+    # the serve loop surfaces the same counters: cumulative via op:stats
+    # and per-request via {"stats": true}
+    stdin = io.StringIO('{"q": "w1x w5x", "stats": true}\n{"op": "stats"}\n{"op": "quit"}\n')
     stdout = io.StringIO()
     serve_loop(idx, stdin=stdin, stdout=stdout)
     lines = [json.loads(line) for line in stdout.getvalue().splitlines()]
+    assert lines[0]["stats"]["segments_touched"] >= 1  # inline per-request
     st = [l for l in lines if l.get("ok") and "total" in l][0]
     assert st["total"]["queries"] == 1 and st["last"]["segments_touched"] >= 1
 
