@@ -183,20 +183,25 @@ class IndexReader:
 
         with self._lock:
             missing = sorted({t for t in terms if t not in self._df_cache})
-            if missing:
-                tid_of = {t: term_tid(t) for t in missing}
-                if self._terms is None:
-                    for t in missing:
-                        self._df_cache[t] = (0, tid_of[t])
-                else:
-                    tbl = self._terms.to_table(
-                        filter=ds.field("tid").isin(sorted(tid_of.values())),
-                        columns=["tid", "df"],
-                    )
-                    agg = tbl.to_pandas().groupby("tid")["df"].sum()
-                    dfs = {int(t): int(v) for t, v in agg.items()}
-                    for t in missing:
-                        self._df_cache[t] = (dfs.get(tid_of[t], 0), tid_of[t])
+            terms_ds = self._terms
+        if missing:
+            # terms-directory I/O outside the lock (same discipline as
+            # _fetch_blocks): concurrent cache-hit queries never wait on
+            # a cold df probe; racing threads install identical entries
+            tid_of = {t: term_tid(t) for t in missing}
+            if terms_ds is None:
+                got = {t: (0, tid_of[t]) for t in missing}
+            else:
+                tbl = terms_ds.to_table(
+                    filter=ds.field("tid").isin(sorted(tid_of.values())),
+                    columns=["tid", "df"],
+                )
+                agg = tbl.to_pandas().groupby("tid")["df"].sum()
+                dfs = {int(t): int(v) for t, v in agg.items()}
+                got = {t: (dfs.get(tid_of[t], 0), tid_of[t]) for t in missing}
+            with self._lock:
+                self._df_cache.update(got)
+        with self._lock:
             return {t: self._df_cache[t] for t in terms}
 
     def df(self, terms: list[str]) -> dict[str, int]:
