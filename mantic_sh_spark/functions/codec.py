@@ -350,9 +350,15 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
         # Arrow offsets are offsets[bstarts] + one trailing end
         buf, offsets = pair
         nb = len(bs_p)
+        end = int(offsets[be_p[-1]]) if nb else 0
+        if end >= 2**31:  # int32 Arrow offsets would wrap silently
+            raise OverflowError(
+                f"varint batch buffer {end} B exceeds binary-column int32 "
+                "offsets; lower CHUNK_SIZE/block_size so one Arrow batch "
+                "stays under 2 GiB")
         offs = np.empty(nb + 1, dtype=np.int32)
         offs[:-1] = offsets[bs_p]
-        offs[-1] = offsets[be_p[-1]] if nb else 0
+        offs[-1] = end
         return pa.Array.from_buffers(
             pa.binary(), nb, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)]
         )
@@ -410,9 +416,15 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
             rs = pstarts_ext[bs_p]
             re = pstarts_ext[be_p]
         nbp = len(rs)
+        pend = int(offsets[re[-1]]) if nbp else 0
+        if pend >= 2**31:  # same int32-offset wraparound guard as _bin
+            raise OverflowError(
+                f"positions batch buffer {pend} B exceeds binary-column "
+                "int32 offsets; lower CHUNK_SIZE/block_size so one Arrow "
+                "batch stays under 2 GiB")
         poffs = np.empty(nbp + 1, dtype=np.int32)
         poffs[:-1] = offsets[rs]
-        poffs[-1] = offsets[re[-1]] if nbp else 0
+        poffs[-1] = pend
         arrays.append(
             pa.Array.from_buffers(
                 pa.binary(), nbp, [None, pa.py_buffer(poffs.tobytes()), pa.py_buffer(buf)]

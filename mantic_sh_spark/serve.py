@@ -77,7 +77,7 @@ class IndexReader:
         # worker thread must see its own query's ST4 flag, not a racing
         # neighbor's (review r3 finding)
         self._tls = threading.local()
-        self.last_stats: dict = {}  # read-amp counters of the last query
+        self._last_shared: dict = {}  # most-recent counters, any thread
         self.totals: dict = {"queries": 0, "segments_touched": 0,
                              "blocks_considered": 0, "blocks_decoded": 0,
                              "terms_cold": 0}
@@ -91,6 +91,15 @@ class IndexReader:
     @truncated.setter
     def truncated(self, value: bool) -> None:
         self._tls.truncated = bool(value)
+
+    @property
+    def last_stats(self) -> dict:
+        """Read-amp counters of THIS thread's last query — thread-local
+        (like `truncated`) so a concurrent serve_loop's inline
+        {"stats": true} response never carries a racing neighbor's
+        counters; `counters()["last"]` stays the cross-thread
+        most-recent view."""
+        return getattr(self._tls, "last_stats", {})
 
     # ---------------------------------------------------------- metadata
     def refresh(self) -> None:
@@ -145,7 +154,8 @@ class IndexReader:
         self._dead_cache.clear()
         # counters restart with the new index state (counters() promises
         # totals "since construction/refresh")
-        self.last_stats = {}
+        self._last_shared = {}
+        self._tls.last_stats = {}
         self.totals = {"queries": 0, "segments_touched": 0,
                        "blocks_considered": 0, "blocks_decoded": 0,
                        "terms_cold": 0}
@@ -349,11 +359,13 @@ class IndexReader:
                  "blocks_decoded": 0, "terms_cold": 0}
         self.truncated = False
         if self._postings is None:
+            self._record_stats(stats, t0)  # zeroed counters, still a query
             return []
         terms = tokenize_query(query)
         dfs = self.df(terms)
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
         if not idf_map:
+            self._record_stats(stats, t0)
             return []
         blocks = self._blocks(sorted(idf_map), stats=stats)
         per_seg: dict[int, dict[str, object]] = {}
@@ -381,8 +393,9 @@ class IndexReader:
 
     def _record_stats(self, stats: dict, t0: float) -> None:
         stats["ms"] = round((time.time() - t0) * 1e3, 3)
+        self._tls.last_stats = stats
         with self._lock:
-            self.last_stats = stats
+            self._last_shared = stats
             self.totals["queries"] += 1
             for key in ("segments_touched", "blocks_considered",
                         "blocks_decoded", "terms_cold"):
@@ -394,7 +407,7 @@ class IndexReader:
         decoded — the gap is the skip win — and LRU-miss terms) plus
         cumulative totals since construction/refresh."""
         with self._lock:
-            return {"last": dict(self.last_stats), "total": dict(self.totals)}
+            return {"last": dict(self._last_shared), "total": dict(self.totals)}
 
     @property
     def has_positions(self) -> bool:
@@ -424,6 +437,7 @@ class IndexReader:
             raise ValueError("phrase serving requires an index built with store_positions=True")
         terms = tokenize(phrase)  # ordered, repeats kept
         if not terms:
+            self._record_stats(stats, t0)
             return []
         blocks = self._pos_blocks(sorted(set(terms)), stats=stats)
         per_seg: dict[int, dict[str, object]] = {}
@@ -607,7 +621,8 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                 err["id"] = req["id"]
             _emit(err)
 
-    pool = ThreadPoolExecutor(max_workers=max(1, int(concurrency)))
+    n_workers = max(1, int(concurrency))
+    pool = ThreadPoolExecutor(max_workers=n_workers)
     pending: list = []
 
     def _drain() -> None:
@@ -643,7 +658,7 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
             if "q" not in req:
                 _emit({"error": "KeyError: 'q'"})
                 continue
-            if pool._max_workers == 1:
+            if n_workers == 1:
                 _answer(req)
             else:
                 pending = [f for f in pending if not f.done()]
