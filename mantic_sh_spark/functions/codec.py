@@ -450,8 +450,30 @@ def decode_positions(buf: bytes, tfs: np.ndarray) -> tuple[np.ndarray, np.ndarra
     return flat, offsets
 
 
+def _load_segment_dead(tombstones_path: str, segments) -> "np.ndarray | None":
+    """TASK-side union of the given segments' liveness sidecars (the
+    per-partition form of operators/delete.segment_tombstones, inlined
+    here so hot worker code keeps its numpy/pyarrow-only import set).
+    Returns a sorted unique int64 array, or None when every sidecar is
+    absent/empty."""
+    import pyarrow.dataset as ds
+
+    parts = []
+    for s in segments:
+        try:
+            d = ds.dataset(f"{tombstones_path}/segment_id={int(s)}", format="parquet")
+            arr = d.to_table(columns=["doc_id"]).column("doc_id").to_numpy()
+        except FileNotFoundError:
+            continue
+        if len(arr):
+            parts.append(arr)
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts))
+
+
 def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
-                      dead=None, with_positions: bool = False):
+                      dead_src=None, with_positions: bool = False):
     """mapInArrow block compactor for segment merges: input is block
     rows sorted by (tid, first_doc) within each partition. Full blocks
     PASS THROUGH without decode; undersized blocks (chunk/segment tails)
@@ -460,16 +482,23 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
     over a billion-doc merged segment streams through, never
     materializing its posting list.
 
-    `dead` (sorted int64 array) purges tombstoned postings: a block
-    whose [first_doc, last_doc] range contains no dead id still passes
-    through untouched; only intersecting blocks decode and drop the
-    dead docs."""
+    `dead_src` = (tombstones_path, [src_segment_ids]) purges tombstoned
+    postings: each TASK loads the union of those segments' liveness
+    sidecars itself (one bounded columnar read — the same per-segment
+    discipline as the query kernels; no dead-id array ever materializes
+    on the driver or ships in this closure, so a full purge-compaction
+    of a billion-tombstone index plans the same as a ten-tombstone
+    one). A block whose [first_doc, last_doc] range contains no dead id
+    still passes through untouched; only intersecting blocks decode and
+    drop the dead docs."""
 
     def run(batches):
         import numpy as np
         import pyarrow as pa
 
-        dead_arr = None if dead is None or not len(dead) else np.asarray(dead, dtype=np.int64)
+        dead_arr = (
+            _load_segment_dead(dead_src[0], dead_src[1]) if dead_src is not None else None
+        )
 
         cols = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
                 "doc_gaps", "tfs", "dls"] + (["positions"] if with_positions else [])

@@ -27,8 +27,6 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-import numpy as np
-
 from ..functions import codec
 from ..functions.bm25 import B, K1
 from ..sources.catalog import IndexPaths, append_manifest, read_or_none
@@ -166,11 +164,15 @@ def merge_segments(
     # in segment s — correct across any number of compaction
     # generations, where doc_id DIV STRIDE only names the ORIGINAL
     # segment (review r2 finding). purge_df is the plan-side form
-    # (anti-joins); purge_ids is the in-task dead array the streaming
-    # compactor ships — bounded by THIS fold's tombstones, never the
-    # index's (the global-array pattern was removed from the query
-    # paths; a compaction legitimately holds its own fold's set).
-    purge_ids = np.empty(0, dtype=np.int64)
+    # (anti-joins, docs purge, stats re-baseline); the streaming
+    # compactor gets NO id array — each task loads the union of the src
+    # segments' liveness sidecars itself (codec.compact_stream_fn
+    # dead_src: the tombstones table is hive-partitioned by the
+    # postings-owning segment, so those partitions ARE the owned set),
+    # matching the per-segment discipline of the query kernels. A full
+    # purge-compaction of a billion-tombstone index therefore never
+    # materializes dead ids on the driver or in a closure (review r3
+    # finding).
     purge_df = None
     purge_stage = f"{paths.root}/purge_ids_tmp"
     if purge and compact:
@@ -193,9 +195,6 @@ def merge_segments(
             _delete_path(spark, purge_stage)
             owned.unionByName(orphans).write.mode("overwrite").parquet(purge_stage)
             purge_df = read_or_none(spark, purge_stage)
-            if purge_df is not None:
-                purge_ids = purge_df.toPandas()["doc_id"].to_numpy(dtype=np.int64, copy=True)
-                purge_ids.sort()
 
     raw = spark.read.parquet(paths.postings)
     has_positions = "positions" in raw.columns
@@ -222,7 +221,7 @@ def merge_segments(
         merged = ordered.mapInArrow(
             codec.compact_stream_fn(
                 avgdl, k1, b,
-                dead=purge_ids if len(purge_ids) else None,
+                dead_src=(paths.tombstones, srcs) if purge_df is not None else None,
                 with_positions=has_positions,
             ),
             schema=BLOCK_ROW_SCHEMA_POS if has_positions else BLOCK_ROW_SCHEMA,

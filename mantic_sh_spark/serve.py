@@ -137,7 +137,10 @@ class IndexReader:
         self._dead_segs: frozenset[int] = frozenset()
         self._dead_cache: dict[int, np.ndarray] = {}
         t = self._dataset_or_none(self.paths.tombstones)
-        if t is not None:
+        # a purge deletes every tombstone PARTITION but leaves the root
+        # dir: the dataset then exists with a column-less schema — treat
+        # it as clean, don't crash the refresh
+        if t is not None and "segment_id" in t.schema.names:
             import pyarrow.compute as pc
 
             segs = t.to_table(columns=["segment_id"]).column("segment_id")

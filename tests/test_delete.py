@@ -97,6 +97,19 @@ def test_purge_matches_fresh_build(spark, tmp_path):
 
     assert by_url(idx) == by_url(fresh_dir)
 
+    # a full purge leaves the tombstones ROOT dir with no partitions —
+    # the serving reader must treat the column-less dataset as clean
+    # (not crash on refresh) and stay value-identical to wand_topk
+    from mantic_sh_spark.serve import IndexReader
+
+    reader = IndexReader(idx)
+    qid, qtext = queries[0]
+    want = [
+        (r.doc_id, r.score)
+        for r in wand_topk(spark, idx, [(qid, qtext)], k=6).orderBy("rank").collect()
+    ]
+    assert reader.topk(qtext, k=6) == want
+
 
 def test_purge_with_million_tombstones(spark, tmp_path):
     """Scale guard for the delete/purge path (round-3 bar: >=10^6
