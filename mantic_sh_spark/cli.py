@@ -224,19 +224,13 @@ def main(argv: list[str] | None = None) -> int:
                 from .operators.wand import wand_topk
 
                 terms = list(plan.terms)
-                if plan.fuzzy_terms:
-                    try:
-                        for ft in plan.fuzzy_terms:
-                            terms.extend(expand_fuzzy_term(args.index, ft))
-                    except FileNotFoundError:
-                        # first fuzzy query against this index: build the
-                        # vocabulary sidecar once (deliberately not part
-                        # of the index build hot path), then expand
-                        from .operators.index_build import build_term_dictionary
-
-                        build_term_dictionary(spark, args.index)
-                        for ft in plan.fuzzy_terms:
-                            terms.extend(expand_fuzzy_term(args.index, ft))
+                # rebuild_if_missing: the vocabulary sidecar is built
+                # once on the first fuzzy query (deliberately not part
+                # of the index build hot path) and after any mutation
+                # deleted it
+                for ft in plan.fuzzy_terms:
+                    terms.extend(expand_fuzzy_term(args.index, ft, spark=spark,
+                                                   rebuild_if_missing=True))
                 engine = "wand"
                 res = wand_topk(spark, args.index, [(0, " ".join(terms))], k=args.k)
             rows = res.join(F.broadcast(

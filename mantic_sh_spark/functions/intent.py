@@ -117,7 +117,8 @@ def parse_query(q: str) -> QueryPlan:
 
 
 def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
-                      limit: int = 3) -> list[str]:
+                      limit: int = 3, spark=None,
+                      rebuild_if_missing: bool = False) -> list[str]:
     """Closest index terms to a ~fuzzy query term by Levenshtein
     distance (reference: closest-match top-N, T7/T8). Candidates come
     from PREFIX-PRUNED reads of the term directory (terms are sorted
@@ -128,9 +129,12 @@ def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
     stores no term strings (postings and the terms directory are keyed
     by the int64 tid), so fuzzy matching is exactly what the optional
     vocabulary artifact exists for. Build it once per index with
-    `operators/index_build.build_term_dictionary` (the CLI auto-builds
-    on the first fuzzy query); a missing sidecar raises
-    FileNotFoundError with that instruction.
+    `operators/index_build.build_term_dictionary`. Every index MUTATION
+    (extend/upsert/purge) deletes the sidecar — a stale dictionary
+    would silently miss terms — so with `rebuild_if_missing=True` and a
+    SparkSession, a missing sidecar triggers the (vocabulary-bounded)
+    rebuild inline and the first fuzzy query after an upsert succeeds;
+    otherwise it raises FileNotFoundError with the instruction.
 
     Candidate band: terms whose FIRST character is one of the query
     term's first (max_dist+1) characters. This covers same-head
@@ -151,11 +155,17 @@ def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
         return []
     dict_path = IndexPaths(index_dir).term_dict
     if not os.path.isdir(dict_path):
-        raise FileNotFoundError(
-            f"no term_dictionary at {dict_path} — fuzzy expansion needs the "
-            "vocabulary sidecar; run "
-            "operators.index_build.build_term_dictionary(spark, index_dir) once"
-        )
+        if rebuild_if_missing and spark is not None:
+            from ..operators.index_build import build_term_dictionary
+
+            build_term_dictionary(spark, index_dir)
+        else:
+            raise FileNotFoundError(
+                f"no term_dictionary at {dict_path} — fuzzy expansion needs "
+                "the vocabulary sidecar; run "
+                "operators.index_build.build_term_dictionary(spark, index_dir) "
+                "once, or pass spark + rebuild_if_missing=True"
+            )
     prefixes = sorted(set(term[: max_dist + 1]))
     d = ds.dataset(dict_path, format="parquet")
     flt = None

@@ -6,8 +6,11 @@ The reference's flagship consumer surface is an MCP server whose
 surface for this engine: a stdio JSON-RPC 2.0 loop (newline-delimited
 messages, the MCP stdio transport) exposing
 
-  * search_files  — BM25 / phrase / proximity top-k with urls
-  * index_stats   — corpus + read-amplification counters
+  * search_files    — BM25 / phrase / proximity top-k with urls
+  * find_references — per-doc token positions of a symbol (the
+    reference's positional lookup tool, src/mcp-server.ts:763-847 —
+    served from positional postings, not an AST walk)
+  * index_stats     — corpus + read-amplification counters
 
 backed by ONE long-lived `serve.IndexReader` — no per-query process
 spawn and no Spark job on the query path (the reference shells out via
@@ -58,6 +61,24 @@ TOOLS = [
                              "description": "soft deadline; partial results are flagged"},
             },
             "required": ["query"],
+        },
+    },
+    {
+        "name": "find_references",
+        "description": (
+            "Find every occurrence of a symbol/term across the corpus. "
+            "Returns per-document token positions (camelCase identifiers "
+            "match as exact phrases), ranked by occurrence count."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "symbol": {"type": "string", "description": "identifier or term to locate"},
+                "maxResults": {"type": "integer", "default": 10, "minimum": 1},
+                "maxPositions": {"type": "integer", "default": 100, "minimum": 1,
+                                 "description": "max token positions returned per document"},
+            },
+            "required": ["symbol"],
         },
     },
     {
@@ -133,6 +154,19 @@ class McpServer:
             }
             if self.reader.truncated:
                 payload["truncated"] = True
+            return {
+                "content": [{"type": "text", "text": json.dumps(payload)}],
+                "isError": False,
+            }
+        if name == "find_references":
+            t0 = time.time()
+            refs = self.reader.references(
+                args["symbol"],
+                k=int(args.get("maxResults", 10)),
+                max_positions=int(args.get("maxPositions", 100)),
+            )
+            payload = {"references": refs,
+                       "ms": round((time.time() - t0) * 1e3, 2)}
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],
                 "isError": False,

@@ -72,25 +72,18 @@ def _gather_runs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
     return flat[np.repeat(starts, lens) + within]
 
 
-def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
-                           dead: np.ndarray | None = None,
-                           slop: int = 0) -> list[tuple[int, int]]:
-    """One (segment, phrase) evaluation → [(doc_id, n_matches)].
-    Shared by the distributed UDF and the serving reader (the same
-    sharing discipline as wand.segment_topk).
-
-    The verification is ONE batched ragged-array pass over ALL
-    candidate docs (review r2: the former per-candidate Python loop was
-    the bottleneck for phrases of common terms, where the candidate set
-    is huge): every start position of the first term across every
-    candidate becomes one element of a keyed array
-    (doc_rank·2^32 + position), and each subsequent term advances ALL
-    elements with a single searchsorted over its keyed candidate runs —
-    the greedy smallest-next-position match, which is exact because
-    greedy minimizes the stretch. n_matches per doc then falls out of
-    one bincount. No per-doc Python anywhere."""
+def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
+                         dead: np.ndarray | None = None,
+                         slop: int = 0):
+    """Core batched phrase verification → (cand_docs, doc_rank0, p0,
+    valid): one element per START position of the first term across
+    every candidate doc; `valid` marks the starts where the full
+    in-order (≤ slop stretch) match verified. Callers derive counts
+    (segment_phrase_matches) or the match positions themselves
+    (segment_phrase_positions — the `find_references` surface) from the
+    same pass. Returns None when no candidate survives."""
     if not terms or any(t not in by_term for t in terms):
-        return []
+        return None
     decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
     # candidate docs: intersect doc sets, smallest first
     doc_sets = [decoded[t][0] for t in terms]
@@ -106,7 +99,7 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
         )
         cand = cand[~hit]
     if not len(cand):
-        return []
+        return None
 
     nc = len(cand)
     if nc >= (1 << 31):  # keyed-searchsorted rank headroom (see _POS_STRIDE)
@@ -141,9 +134,60 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
         prev = hitk % _POS_STRIDE
     m = len(terms) - 1
     valid &= (prev - p0 - m) <= slop
-    counts = np.bincount(doc_rank0[valid], minlength=nc)
+    return cand, doc_rank0, p0, valid
+
+
+def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
+                           dead: np.ndarray | None = None,
+                           slop: int = 0) -> list[tuple[int, int]]:
+    """One (segment, phrase) evaluation → [(doc_id, n_matches)].
+    Shared by the distributed UDF and the serving reader (the same
+    sharing discipline as wand.segment_topk).
+
+    The verification is ONE batched ragged-array pass over ALL
+    candidate docs (review r2: the former per-candidate Python loop was
+    the bottleneck for phrases of common terms, where the candidate set
+    is huge): every start position of the first term across every
+    candidate becomes one element of a keyed array
+    (doc_rank·2^32 + position), and each subsequent term advances ALL
+    elements with a single searchsorted over its keyed candidate runs —
+    the greedy smallest-next-position match, which is exact because
+    greedy minimizes the stretch. n_matches per doc then falls out of
+    one bincount. No per-doc Python anywhere."""
+    r = _phrase_match_starts(by_term, terms, dead, slop)
+    if r is None:
+        return []
+    cand, doc_rank0, _p0, valid = r
+    counts = np.bincount(doc_rank0[valid], minlength=len(cand))
     nz = np.flatnonzero(counts)
     return list(zip(cand[nz].tolist(), counts[nz].tolist()))
+
+
+def segment_phrase_positions(by_term: dict[str, pd.DataFrame], terms: list[str],
+                             dead: np.ndarray | None = None,
+                             slop: int = 0) -> list[tuple[int, np.ndarray]]:
+    """One (segment, phrase/symbol) evaluation → [(doc_id, ascending
+    match-START token positions)] — the positional payload behind
+    `find_references` (reference: src/code-intel.ts:337-383 /
+    src/mcp-server.ts:763-847 answer "where is symbol X" with per-file
+    occurrence positions; here a symbol is its tokenized form, so
+    camelCase identifiers match as exact phrases). Same batched kernel
+    as segment_phrase_matches — the starts are already computed; this
+    just groups them by doc instead of counting."""
+    r = _phrase_match_starts(by_term, terms, dead, slop)
+    if r is None:
+        return []
+    cand, doc_rank0, p0, valid = r
+    ranks, starts = doc_rank0[valid], p0[valid]
+    if not len(ranks):
+        return []
+    # starts are ascending within each rank run (keyed array order)
+    order = np.argsort(ranks, kind="stable")
+    ranks, starts = ranks[order], starts[order]
+    boundaries = np.flatnonzero(np.diff(ranks)) + 1
+    groups = np.split(starts, boundaries)
+    uniq = ranks[np.concatenate(([0], boundaries))]
+    return [(int(cand[r_]), g) for r_, g in zip(uniq, groups)]
 
 
 def _phrase_udf(queries: dict[int, list[str]], dead_src=None,

@@ -462,6 +462,56 @@ class IndexReader:
         self._record_stats(stats, t0)
         return hits[:k]
 
+    def references(self, symbol: str, k: int = 10,
+                   max_positions: int = 100) -> list[dict]:
+        """Where does `symbol` occur — [(doc_id, url, n_matches, token
+        positions)] ranked by occurrence count, served from positional
+        postings with no Spark job (the reference's `find_references`
+        MCP surface, src/code-intel.ts:337-383 / src/mcp-server.ts:763-847,
+        which returns per-file occurrence locations). A symbol is its
+        tokenized form, so camelCase identifiers ("parseHtml") match as
+        exact phrases and a plain word is a single-term lookup;
+        positions are within-doc token indexes (the same coordinate
+        space as `token_positions`), truncated to `max_positions` per
+        doc."""
+        from .functions.tokenize import tokenize
+        from .operators.phrase import segment_phrase_positions
+
+        t0 = time.time()
+        stats = {"segments_touched": 0, "blocks_considered": 0,
+                 "blocks_decoded": 0, "terms_cold": 0}
+        self.truncated = False
+        if not self.has_positions:
+            raise ValueError(
+                "find_references requires an index built with store_positions=True")
+        terms = tokenize(symbol)
+        if not terms:
+            self._record_stats(stats, t0)
+            return []
+        blocks = self._pos_blocks(sorted(set(terms)), stats=stats)
+        per_seg: dict[int, dict[str, object]] = {}
+        for t, pdf in blocks.items():
+            if not len(pdf):
+                continue
+            for seg, g in pdf.groupby("segment_id"):
+                per_seg.setdefault(int(seg), {})[t] = g
+        hits: list[tuple[int, "np.ndarray"]] = []
+        for seg, by_term in per_seg.items():
+            stats["segments_touched"] += 1
+            nb = sum(len(g) for g in by_term.values())
+            stats["blocks_considered"] += nb
+            stats["blocks_decoded"] += nb
+            hits.extend(segment_phrase_positions(by_term, terms, self._dead(seg)))
+        hits.sort(key=lambda x: (-len(x[1]), x[0]))
+        hits = hits[:k]
+        url_map = self.urls([d for d, _ in hits])
+        self._record_stats(stats, t0)
+        return [
+            {"doc_id": d, "url": url_map.get(d), "n_matches": len(p),
+             "positions": p[:max_positions].tolist()}
+            for d, p in hits
+        ]
+
     def search(self, query: str, k: int = 10, with_urls: bool = False,
                phrase: bool = False, slop: int = 0,
                budget_ms: float | None = None,

@@ -68,6 +68,43 @@ def test_fuzzy_expansion_finds_close_terms(spark, small_corpus):
     assert "w9x" in got3
 
 
+def test_fuzzy_rebuilds_dictionary_after_upsert(spark, tmp_path):
+    """An upsert deletes the term_dictionary sidecar (stale dictionaries
+    silently miss terms); the FIRST fuzzy query after it must succeed by
+    rebuilding inline (rebuild_if_missing=True) — and see the upserted
+    vocabulary (r3 verdict task)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.operators.index_build import build_index, build_term_dictionary
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+    from mantic_sh_spark.streaming.incremental import upsert_pages
+
+    cfg = SynthConfig(n_docs=120, vocab_size=150, seed=41)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_term_dictionary(spark, idx)
+
+    # modify one page to carry a brand-new vocabulary term
+    victim = pages.select("url").orderBy("url").limit(1).collect()[0].url
+    modified = pages.filter(F.col("url") == victim).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" zzfreshterm zzfreshterm"))
+    )
+    res = upsert_pages(spark, idx, modified, n_new_segments=1)
+    assert res["modified"] == 1
+    assert not os.path.isdir(IndexPaths(idx).term_dict)  # mutation dropped it
+
+    # immediately-following fuzzy query: rebuilds the sidecar inline and
+    # resolves a typo of the NEW term
+    got = expand_fuzzy_term(idx, "zzfreshtern", max_dist=1, limit=3,
+                            spark=spark, rebuild_if_missing=True)
+    assert got == ["zzfreshterm"]
+    assert os.path.isdir(IndexPaths(idx).term_dict)
+
+
 def test_cli_auto_routing(spark, small_corpus, capsys):
     from mantic_sh_spark.cli import main
 

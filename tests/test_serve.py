@@ -158,6 +158,43 @@ def test_reader_phrase_matches_spark_engine(spark, tmp_path):
     res = json.loads(out.getvalue().splitlines()[0])["results"]
     assert res and res[0]["rank"] == 1 and "n_matches" in res[0] and res[0]["url"]
 
+    # find_references: per-doc match-start token positions must equal a
+    # pure-Python re-tokenization oracle, for a single-term symbol and a
+    # multi-token (phrase-matched) one; ranked (n_matches desc, doc asc)
+    from mantic_sh_spark.functions.tokenize import tokenize as tok
+    doc_toks = {r.doc_id: tok(r.text)
+                for r in spark.read.parquet(f"{idx}/docs").collect()}
+    for symbol, width in (("w0x", 1), ("w0x w1x", 2)):
+        sym = tok(symbol)
+        oracle = {}
+        for d, toks in doc_toks.items():
+            pos = [i for i in range(len(toks) - width + 1)
+                   if toks[i:i + width] == sym]
+            if pos:
+                oracle[d] = pos
+        refs = reader.references(symbol, k=10**6, max_positions=10**6)
+        assert {r["doc_id"]: r["positions"] for r in refs} == oracle, symbol
+        assert [r["doc_id"] for r in refs] == sorted(
+            oracle, key=lambda d: (-len(oracle[d]), d))
+        assert all(r["n_matches"] == len(oracle[r["doc_id"]]) and r["url"]
+                   for r in refs)
+
+    # MCP surface: find_references round-trips with positions in the
+    # payload (reference: the find_references MCP tool,
+    # src/mcp-server.ts:763-847)
+    from mantic_sh_spark.mcp import McpServer
+    srv = McpServer(idx, reader=reader)
+    resp = srv.handle({"jsonrpc": "2.0", "id": 9, "method": "tools/call",
+                       "params": {"name": "find_references",
+                                  "arguments": {"symbol": "w0x w1x",
+                                                "maxResults": 5,
+                                                "maxPositions": 3}}})
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert resp["result"]["isError"] is False
+    assert payload["references"], "expected at least one reference"
+    top = payload["references"][0]
+    assert top["positions"] and len(top["positions"]) <= 3 and top["url"]
+
 
 def test_timeout_guard_returns_partial(spark, small_corpus):
     """ST4: a per-request time budget stops the segment sweep after the
@@ -226,6 +263,7 @@ def test_mcp_round_trip(spark, small_corpus):
     # tool discovery
     names = [t["name"] for t in by_id[2]["result"]["tools"]]
     assert "search_files" in names and "index_stats" in names
+    assert "find_references" in names
     # search_files call: content payload matches the reader directly
     content = json.loads(by_id[3]["result"]["content"][0]["text"])
     reader = IndexReader(idx)
