@@ -340,10 +340,13 @@ def merge_segments(
         ]
         + [{"segment_id": s, "stage": "merge", "status": "merged"} for s in srcs if s != dst_segment],
     )
-    # a purge may have removed vocabulary; drop the optional dictionary
-    # sidecar (rebuilt on next fuzzy use)
+    # a purge may have removed vocabulary/docs; drop the optional
+    # dictionary and tier-index sidecars (rebuilt on next use — stale
+    # copies would silently miss or resurrect docs)
     if purge_df is not None:
         _delete_path(spark, paths.term_dict)
+        _delete_path(spark, paths.tier_index)
+        _delete_path(spark, paths.tier_meta)
     from .wand import refresh_meta
 
     refresh_meta(index_dir)

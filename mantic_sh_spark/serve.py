@@ -462,6 +462,131 @@ class IndexReader:
         self._record_stats(stats, t0)
         return hits[:k]
 
+    def _scores_for_docs(self, terms: list[str],
+                         doc_ids: "np.ndarray") -> dict[int, float]:
+        """BM25 score of SPECIFIC docs for a term set (the bounded
+        lookup behind tiered serving): per term, decode only the hot-LRU
+        blocks whose [first_doc, last_doc] range intersects the sorted
+        candidate array and searchsorted the candidates in. Docs
+        matching no term score 0.0. Rounding matches rank_topk (4
+        decimals) so tier ladders rank identically to the batch mode."""
+        from .functions.codec import decode_block
+
+        out = np.zeros(len(doc_ids), dtype=np.float64)
+        if not len(doc_ids):
+            return {}
+        dfs = self.df(terms)
+        idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
+        if idf_map:
+            blocks = self._blocks(sorted(idf_map))
+            lo, hi = int(doc_ids[0]), int(doc_ids[-1])
+            for t, pdf in blocks.items():
+                if not len(pdf):
+                    continue
+                sel = pdf[(pdf["first_doc"] <= hi) & (pdf["last_doc"] >= lo)]
+                for gaps, tfs, dls in zip(sel["doc_gaps"], sel["tfs"], sel["dls"]):
+                    d, tf, dl = decode_block(gaps, tfs, dls)
+                    j = np.searchsorted(d, doc_ids)
+                    ok = (j < len(d)) & (d[np.minimum(j, len(d) - 1)] == doc_ids)
+                    if not ok.any():
+                        continue
+                    tfv = tf[j[ok]].astype(np.float64)
+                    dlv = dl[j[ok]].astype(np.float64)
+                    out[ok] += (
+                        idf_map[t] * tfv * (self.k1 + 1.0)
+                        / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
+                    )
+        return {int(d): round(float(s), 4) for d, s in zip(doc_ids, out)}
+
+    def _tier_specs(self) -> list[tuple[int, str]]:
+        """Ordered (ord, field-dir name) pairs from tier_index_meta, or
+        [] when no tier index is materialized."""
+        import pyarrow.dataset as ds
+
+        try:
+            d = ds.dataset(self.paths.tier_meta, format="parquet")
+        except FileNotFoundError:
+            return []
+        t = d.to_table(columns=["ord", "name"]).to_pydict()
+        return sorted(zip((int(o) for o in t["ord"]), t["name"]))
+
+    def tiered_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        """[(doc_id, tier, score)] — the R1 tier ladder SERVED from the
+        materialized tier containment index (operators/tiers.py;
+        reference "exact title match wins", src/brain-scorer.ts:226-253)
+        instead of the batch mode's full-corpus pass. Value-identical to
+        operators/query.tiered_topk over the same fields: tier i = the
+        doc's i-th tier field contains ALL query terms (first match
+        wins), final tier = BM25 order; rank (tier asc, score desc,
+        doc_id asc).
+
+        Per-query cost: one tid-pruned probe of each (tiny) tier field
+        index, one bounded score lookup for the tier-matched docs, and
+        one ordinary WAND run for the final tier — corpus-size-
+        independent, like topk()."""
+        import pyarrow.dataset as ds
+
+        from .functions.termhash import term_tid
+
+        specs = self._tier_specs()
+        if not specs:
+            raise FileNotFoundError(
+                f"no tier index at {self.paths.tier_index} — run "
+                "operators.tiers.build_tier_index(spark, index_dir) once"
+            )
+        terms = sorted(set(tokenize_query(query)))
+        if not terms:
+            return []
+        tids = {term_tid(t) for t in terms}
+        n_tiers = len(specs)
+
+        # tier membership: intersect each field's per-tid doc lists;
+        # first (best) tier wins per doc
+        tier_of: dict[int, int] = {}
+        for ordi, name in specs:
+            d = ds.dataset(f"{self.paths.tier_index}/field={ordi}_{name}",
+                           format="parquet")
+            tbl = d.to_table(filter=ds.field("tid").isin(sorted(tids)),
+                             columns=["tid", "doc_id"])
+            by_tid: dict[int, np.ndarray] = {}
+            tid_arr = tbl.column("tid").to_numpy()
+            doc_arr = tbl.column("doc_id").to_numpy()
+            for tid in tids:
+                by_tid[tid] = doc_arr[tid_arr == tid]
+            if any(not len(v) for v in by_tid.values()):
+                continue
+            lists = sorted(by_tid.values(), key=len)
+            cand = np.unique(lists[0])
+            for arr in lists[1:]:
+                cand = np.intersect1d(cand, arr)
+                if not len(cand):
+                    break
+            for doc in cand.tolist():
+                tier_of.setdefault(int(doc), ordi)
+
+        # liveness: drop tombstoned docs from tier membership
+        if tier_of and self._dead_segs:
+            for seg in self._dead_segs:
+                dead = self._dead(seg)
+                if dead is None:
+                    continue
+                ids = np.fromiter(tier_of, dtype=np.int64)
+                j = np.searchsorted(dead, ids)
+                hit = (j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)] == ids)
+                for doc in ids[hit].tolist():
+                    tier_of.pop(int(doc), None)
+
+        tier_docs = np.array(sorted(tier_of), dtype=np.int64)
+        scores = self._scores_for_docs(terms, tier_docs)
+        rows = [(d, tier_of[d], scores[d]) for d in tier_of]
+        # final tier: ordinary WAND top-k, minus the tier-matched docs
+        # (fetch enough extra to survive the exclusion)
+        for d, s in self.topk(query, k=k + len(tier_of)):
+            if d not in tier_of:
+                rows.append((d, n_tiers, s))
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return rows[:k]
+
     def references(self, symbol: str, k: int = 10,
                    max_positions: int = 100) -> list[dict]:
         """Where does `symbol` occur — [(doc_id, url, n_matches, token

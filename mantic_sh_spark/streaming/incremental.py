@@ -108,8 +108,11 @@ def extend_index(
     # the optional (term, tid, df) vocabulary sidecar no longer covers
     # the new segments' vocabulary — drop it; fuzzy expansion rebuilds
     # on next use (review r3 finding: a stale dictionary silently
-    # misses post-build terms)
+    # misses post-build terms). Same staleness contract for the tier
+    # containment index (new docs would be invisible to tiers).
     _delete_path(spark, paths.term_dict)
+    _delete_path(spark, paths.tier_index)
+    _delete_path(spark, paths.tier_meta)
     refresh_meta(index_dir)
     return segs
 

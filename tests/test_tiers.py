@@ -1,0 +1,81 @@
+"""R1 tier ladder serving form (operators/tiers.py + IndexReader
+.tiered_topk): the materialized tier containment index must serve
+results value-identical to the batch full-corpus mode
+(operators/query.tiered_topk), and invalidate on mutations like the
+other optional sidecars."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mantic_sh_spark.functions.tokenize import tokens_col
+from mantic_sh_spark.operators.query import tiered_topk
+from mantic_sh_spark.operators.tiers import DEFAULT_TIER_SPECS, build_tier_index
+from mantic_sh_spark.serve import IndexReader
+
+
+def _batch_docs(spark, idx):
+    d = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    for name, _src, window in DEFAULT_TIER_SPECS:
+        d = d.withColumn(f"{name}_tokens", F.slice("tokens", 1, window))
+    return d
+
+
+def test_tiered_serving_matches_batch(spark, small_corpus):
+    idx = small_corpus["index_dir"]
+    assert build_tier_index(spark, idx) == len(DEFAULT_TIER_SPECS)
+    docs = _batch_docs(spark, idx)
+    fields = [f"{name}_tokens" for name, _s, _w in DEFAULT_TIER_SPECS]
+    reader = IndexReader(idx)
+
+    saw_tier_match = False
+    for q in ("w1x", "w2x w3x", "w0x w1x w5x", "qqabsentterm w1x"):
+        want = [
+            (r.doc_id, r.tier, r.score)
+            for r in tiered_topk(spark, docs, [(0, q)], tier_fields=fields, k=10)
+            .orderBy("rank").collect()
+        ]
+        got = reader.tiered_topk(q, k=10)
+        assert got == want, q
+        saw_tier_match |= any(t < len(fields) for _, t, _ in want)
+    # the comparison must have exercised a real tier hit, not just the
+    # final-tier BM25 path
+    assert saw_tier_match
+
+    # no tier index → instructive error
+    reader2 = IndexReader(idx)
+    reader2.paths = type(reader.paths)(str(idx) + "_nope")
+    with pytest.raises(FileNotFoundError, match="tier index"):
+        reader2.tiered_topk("w1x")
+
+
+def test_tier_index_invalidated_by_mutation(spark, tmp_path):
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    cfg = SynthConfig(n_docs=80, vocab_size=100, seed=7)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=1)
+    build_tier_index(spark, idx)
+    paths = IndexPaths(idx)
+    assert os.path.isdir(paths.tier_index) and os.path.isdir(paths.tier_meta)
+
+    more = gen_pages(spark, SynthConfig(n_docs=20, vocab_size=100, seed=8), partitions=1)
+    extend_index(spark, idx, more, n_new_segments=1)
+    assert not os.path.isdir(paths.tier_index)  # stale tiers dropped
+    assert not os.path.isdir(paths.tier_meta)
+
+    # rebuild covers the extended corpus: serving == batch again
+    build_tier_index(spark, idx)
+    docs = _batch_docs(spark, idx)
+    fields = [f"{name}_tokens" for name, _s, _w in DEFAULT_TIER_SPECS]
+    want = [
+        (r.doc_id, r.tier, r.score)
+        for r in tiered_topk(spark, docs, [(0, "w1x w2x")], tier_fields=fields, k=8)
+        .orderBy("rank").collect()
+    ]
+    assert IndexReader(idx).tiered_topk("w1x w2x", k=8) == want
