@@ -213,6 +213,12 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
     )
     cfg = SynthConfig(n_docs=N_DOCS, vocab_size=50000, seed=42)
     queries = gen_queries(cfg, n_queries=30)
+    # one-time tier containment index for the R1 serving ladder
+    # (operators/tiers.py; excluded from query timings)
+    from mantic_sh_spark.operators.tiers import build_tier_index
+
+    if not os.path.isdir(f"{index_dir}/tier_index_meta"):
+        build_tier_index(spark, index_dir)
     wand_topk(spark, index_dir, queries[:2], k=10).collect()  # warm
     lat = []
     for q in queries:
@@ -266,9 +272,18 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
         preader.phrase_topk(stop_phrase, 10)
         plat.append(time.time() - t0)
     plat.sort()
+    # tiered ladder from the materialized tier index (R1 serving form)
+    reader.tiered_topk(queries[0][1], 10)  # open tier files once
+    tlat = []
+    for _, q in queries:
+        t0 = time.time()
+        reader.tiered_topk(q, 10)
+        tlat.append(time.time() - t0)
+    tlat.sort()
 
     return {
         "serve_p50_s": slat[len(slat) // 2],
+        "tiered_p50_s": tlat[len(tlat) // 2],
         "serve_p90_s": slat[int(len(slat) * 0.9)],
         "serve_hot_p50_s": hot[len(hot) // 2],
         "phrase_stop_p50_s": plat[len(plat) // 2],
@@ -389,6 +404,7 @@ def main() -> None:
     queries["wand_p90"] = round(qstats["serve_p90_s"], 4)
     queries["wand_hot_p50"] = round(qstats["serve_hot_p50_s"], 4)
     queries["phrase_stop_p50"] = round(qstats["phrase_stop_p50_s"], 4)
+    queries["tiered_p50"] = round(qstats["tiered_p50_s"], 4)
     queries["wand_spark_p50"] = round(qstats["wand_spark_p50_s"], 4)
     queries["wand_batch30"] = round(qstats["wand_batch30_s"], 4)
 

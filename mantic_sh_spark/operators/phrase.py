@@ -196,7 +196,10 @@ def _phrase_udf(queries: dict[int, list[str]], dead_src=None,
         from .wand import _load_dead
 
         dead = _load_dead(dead_src, int(pdf["segment_id"].iloc[0]))
-        by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")}
+        # unknown tids dropped (the scan filter may carry the
+        # codegen-stability sentinel — wand._tid_filter)
+        by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")
+                   if int(t) in tid2term}
         out_q, out_d, out_n = [], [], []
         for qid, terms in queries.items():
             for doc, n in segment_phrase_matches(by_term, terms, dead, slop):
@@ -243,9 +246,13 @@ def phrase_topk(
     tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
     if not tid2term:
         return spark.createDataFrame([], "query_id int, doc_id long, n_matches long, rank int")
-    blocks = spark.read.parquet(paths.postings).filter(F.col("tid").isin(list(tid2term)))
-    if "positions" not in blocks.columns:
+    from .wand import _postings_scan, _tid_filter
+
+    try:
+        scan = _postings_scan(spark, paths, with_positions=True)
+    except ValueError:
         raise ValueError("phrase_topk requires an index built with store_positions=True")
+    blocks = scan.filter(_tid_filter(list(tid2term)))
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _phrase_udf(q_map, dead_src=dead_src, slop=slop, tid2term=tid2term),
         schema="query_id int, doc_id long, n_matches long",

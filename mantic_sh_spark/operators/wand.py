@@ -344,8 +344,12 @@ def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
         bf = (bound_factors or {}).get(seg, 1.0)
         dead = _load_dead(dead_src, seg)
         # posting rows carry the int64 tid; translate back to the query
-        # term strings via the (query-sized) tid2term closure
-        by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")}
+        # term strings via the (query-sized) tid2term closure. Unknown
+        # tids are skipped: the scan filter may be padded with a
+        # never-matching sentinel (codegen-stability trick in
+        # _tid_filter) that could in principle collide with a real term
+        by_term = {tid2term[int(t)]: g for t, g in pdf.groupby("tid")
+                   if int(t) in tid2term}
         out_q, out_d, out_s = [], [], []
         for qid, terms in queries.items():
             for doc, score in segment_topk(by_term, terms, idf_map, avgdl, k,
@@ -419,9 +423,60 @@ def refresh_meta(index_dir: str | None = None) -> None:
     if index_dir is None:
         _META_CACHE.clear()
         _DF_CACHE.clear()
+        _SCAN_CACHE.clear()
     else:
-        _META_CACHE.pop(_cache_key(IndexPaths(index_dir).root), None)
-        _DF_CACHE.pop(_cache_key(IndexPaths(index_dir).root), None)
+        key = _cache_key(IndexPaths(index_dir).root)
+        _META_CACHE.pop(key, None)
+        _DF_CACHE.pop(key, None)
+        for k in [k for k in _SCAN_CACHE if k[1] == key]:
+            _SCAN_CACHE.pop(k, None)
+
+
+# Per-process memo of the postings scan DataFrame, keyed by
+# (Spark application id, normalized index root, with_positions).
+# `spark.read.parquet` re-lists the 10^2-file postings layout and
+# re-reads footers for schema inference on EVERY call — ~0.2 s of
+# driver time that dominated the single-query distributed path
+# (BENCH_r03 wand_spark_p50 regression). The lazy relation itself is
+# immutable, so reusing it per session is safe; refresh_meta (every
+# build/extend/merge/delete caller) invalidates by root.
+_SCAN_CACHE: dict[tuple[str, str, bool], DataFrame] = {}
+
+
+def _tid_filter(tids: list[int]) -> F.Column:
+    """tid membership predicate shaped for a STABLE codegen cache key:
+    a single-value isin optimizes to EqualTo with the literal INLINED
+    in the generated source (fresh Janino compile per query — measured
+    ~0.25 s, the dominant single-term wand_spark cost), so pad to two
+    values with a sentinel (tid XOR a salt). The padded value is
+    correctness-neutral: tids it might collide with (P ≈ vocab/2^64)
+    only widen the scan; the kernels drop unknown tids. Two-plus values
+    become InSet (session conf inSetConversionThreshold=1), whose value
+    set is a codegen reference object — identical source across
+    queries, codegen cache hit."""
+    vals = list(tids)
+    if len(vals) == 1:
+        vals.append(vals[0] ^ 0x5BD1E995)
+    return F.col("tid").isin(vals)
+
+
+def _postings_scan(spark: SparkSession, paths: IndexPaths,
+                   with_positions: bool = False) -> DataFrame:
+    """Memoized projected postings relation (see _SCAN_CACHE)."""
+    key = (spark.sparkContext.applicationId, _cache_key(paths.root), with_positions)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        cols = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
+                "doc_gaps", "tfs", "dls"]
+        df = spark.read.parquet(paths.postings)
+        if with_positions:
+            if "positions" not in df.columns:
+                raise ValueError(
+                    "positional query requires an index built with store_positions=True")
+            cols.append("positions")
+        df = df.select(*cols)
+        _SCAN_CACHE[key] = df
+    return df
 
 
 # Per-process lazy term-metadata cache: index → {term: (global df, tid)}.
@@ -512,13 +567,10 @@ def wand_topk(
     # project to exactly the columns the cursors read BEFORE the
     # groupBy exchange — on a positional index this keeps the (largest)
     # positions column out of the scan and shuffle entirely. Postings
-    # filter on the int64 tid (row-group stats on the tid-sorted layout)
-    blocks = (
-        spark.read.parquet(paths.postings)
-        .filter(F.col("tid").isin(list(tid2term)))
-        .select("tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
-                "doc_gaps", "tfs", "dls")
-    )
+    # filter on the int64 tid (row-group stats on the tid-sorted
+    # layout); the base relation is memoized per session (file listing
+    # + footer schema inference cost ~0.2 s/call — _SCAN_CACHE)
+    blocks = _postings_scan(spark, paths).filter(_tid_filter(list(tid2term)))
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors,
                   dead_src=dead_src, tid2term=tid2term),

@@ -47,6 +47,13 @@ def get_spark(
         # fewer IO bytes vs lz4 (measured +6% build throughput here,
         # more on bandwidth-starved clusters)
         .config("spark.io.compression.codec", "zstd")
+        # convert multi-value IN predicates to InSet at any length:
+        # InSet keeps the value set as a codegen REFERENCE object, so
+        # per-query term lists produce IDENTICAL generated source and
+        # hit the codegen cache — inlined In literals force a Janino
+        # recompile (~0.2-0.4 s) for every fresh query's plan. Parquet
+        # pushdown translates InSet the same as In.
+        .config("spark.sql.optimizer.inSetConversionThreshold", "1")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
