@@ -166,11 +166,17 @@ def _term_tf_pos_pairs(tokens: str | F.Column) -> F.Column:
 
 _TRACE = os.environ.get("MANTIC_TRACE_TIMING", "") not in ("", "0")
 
+# stage label → seconds for the MOST RECENT build in this process —
+# bench.py reads this to report per-stage scaling (the local-mode
+# stand-in for Spark UI stage metrics); reset at each build_index entry
+LAST_TIMINGS: dict[str, float] = {}
+
 
 def _trace(label: str, t0: float) -> float:
-    """Opt-in stage timing (MANTIC_TRACE_TIMING=1): prints elapsed per
-    build stage — the local-mode stand-in for Spark UI stage metrics."""
+    """Stage timing: records into LAST_TIMINGS always, prints when
+    MANTIC_TRACE_TIMING=1."""
     t1 = time.time()
+    LAST_TIMINGS[label] = LAST_TIMINGS.get(label, 0.0) + (t1 - t0)
     if _TRACE:
         print(f"[build-timing] {label}: {t1 - t0:.1f}s", flush=True)
     return t1
@@ -395,6 +401,7 @@ def build_index(
     column already equals the extraction (tests/test_extract.py).
     """
     paths = IndexPaths(index_dir)
+    LAST_TIMINGS.clear()
     _t0 = time.time()
     if extract:
         from ..sources.extract import extract_pages

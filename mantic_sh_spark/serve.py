@@ -737,6 +737,8 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
       {"q": "spark join", "snippets": true}          → + context windows
       {"q": "spark join", "stats": true}             → + read-amp counters
       {"q": "spark join", "phrase": true, "slop": 2} → positional phrase
+      {"q": "spark join", "tiered": true}            → R1 tier ladder
+      {"symbol": "parseHtml", "k": 10}             → find_references
       {"q": ..., "id": 7}                          → id echoed in response
       {"op": "stats"}                              → read-amp counters
       {"op": "refresh"}                            → reload metadata
@@ -772,17 +774,31 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
         try:
             t0 = time.time()
             budget = req.get("budget_ms")
-            results = reader.search(req["q"], k=int(req.get("k", 10)),
-                                    with_urls=bool(req.get("urls", False)),
-                                    phrase=bool(req.get("phrase", False)),
-                                    slop=int(req.get("slop", 0)),
-                                    budget_ms=float(budget) if budget is not None else None,
-                                    with_snippets=bool(req.get("snippets", False)))
+            if "symbol" in req:
+                results = reader.references(
+                    req["symbol"], k=int(req.get("k", 10)),
+                    max_positions=int(req.get("max_positions", 100)))
+                logged_q = req["symbol"]
+            elif req.get("tiered"):
+                results = [
+                    {"rank": i + 1, "doc_id": d, "tier": t, "score": s}
+                    for i, (d, t, s) in enumerate(
+                        reader.tiered_topk(req["q"], k=int(req.get("k", 10))))
+                ]
+                logged_q = req["q"]
+            else:
+                results = reader.search(req["q"], k=int(req.get("k", 10)),
+                                        with_urls=bool(req.get("urls", False)),
+                                        phrase=bool(req.get("phrase", False)),
+                                        slop=int(req.get("slop", 0)),
+                                        budget_ms=float(budget) if budget is not None else None,
+                                        with_snippets=bool(req.get("snippets", False)))
+                logged_q = req["q"]
             ms = round((time.time() - t0) * 1e3, 2)
             with served_lock:
                 served += 1
                 if qlog is not None:
-                    qlog.record(req["q"], req.get("k", 10), results, ms)
+                    qlog.record(logged_q, req.get("k", 10), results, ms)
             resp = {"results": results, "ms": ms}
             if req.get("stats"):
                 # per-request read-amplification counters inline
@@ -833,7 +849,7 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
             if op == "stats":
                 _emit({"ok": True, **reader.counters()})
                 continue
-            if "q" not in req:
+            if "q" not in req and "symbol" not in req:
                 _emit({"error": "KeyError: 'q'"})
                 continue
             if n_workers == 1:

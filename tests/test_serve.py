@@ -179,6 +179,14 @@ def test_reader_phrase_matches_spark_engine(spark, tmp_path):
         assert all(r["n_matches"] == len(oracle[r["doc_id"]]) and r["url"]
                    for r in refs)
 
+    # serve-loop routing: {"symbol": ...} answers references
+    out2 = io.StringIO()
+    serve_loop(idx, stdin=io.StringIO(
+        json.dumps({"symbol": "w0x w1x", "k": 3}) + "\n"
+        + json.dumps({"op": "quit"}) + "\n"), stdout=out2)
+    sresp = json.loads(out2.getvalue().splitlines()[0])
+    assert sresp["results"] and sresp["results"][0]["positions"]
+
     # MCP surface: find_references round-trips with positions in the
     # payload (reference: the find_references MCP tool,
     # src/mcp-server.ts:763-847)

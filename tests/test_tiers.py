@@ -43,6 +43,21 @@ def test_tiered_serving_matches_batch(spark, small_corpus):
     # final-tier BM25 path
     assert saw_tier_match
 
+    # serve-loop routing: {"tiered": true} answers with tier column
+    import io
+    import json
+
+    from mantic_sh_spark.serve import serve_loop
+
+    out = io.StringIO()
+    serve_loop(idx, stdin=io.StringIO(
+        json.dumps({"q": "w1x", "tiered": True, "k": 4}) + "\n"
+        + json.dumps({"op": "quit"}) + "\n"), stdout=out)
+    resp = json.loads(out.getvalue().splitlines()[0])
+    want4 = [{"rank": i + 1, "doc_id": d, "tier": t, "score": s}
+             for i, (d, t, s) in enumerate(reader.tiered_topk("w1x", k=4))]
+    assert resp["results"] == json.loads(json.dumps(want4))
+
     # no tier index → instructive error
     reader2 = IndexReader(idx)
     reader2.paths = type(reader.paths)(str(idx) + "_nope")
