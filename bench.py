@@ -395,15 +395,20 @@ def main() -> None:
     # per-stage scaling inside the cluster pair: names the residual —
     # which stage is off the 1/4 line (compare against membw_scaling:
     # a stage matching it is at the box's bandwidth ceiling, not a
-    # partitioning defect)
+    # partitioning defect). Both legs come from the SAME interleave
+    # pair (the one with the best hi throughput) — mixing legs of
+    # different pairs would reintroduce the cross-window variance the
+    # interleaving exists to pin
+    pair_j = max(range(len(chi_runs)), key=lambda j: chi_runs[j]["docs_per_sec"])
+    slo, shi = clo_runs[pair_j], chi_runs[pair_j]
     stage_scaling = {}
     for key, name in (("docs_stage_s", "docs_stage"),
                       ("postings_stage_s", "postings_stage"),
                       ("terms_metrics_s", "terms_metrics")):
-        if clo.get(key) and chi.get(key):
-            stage_scaling[f"{name}_s_lo"] = clo[key]
-            stage_scaling[f"{name}_s_hi"] = chi[key]
-            stage_scaling[f"{name}_scaling"] = round((clo[key] / chi[key]) / 4.0, 4)
+        if slo.get(key) and shi.get(key):
+            stage_scaling[f"{name}_s_lo"] = slo[key]
+            stage_scaling[f"{name}_s_hi"] = shi[key]
+            stage_scaling[f"{name}_scaling"] = round((slo[key] / shi[key]) / 4.0, 4)
     # shuffle-free Spark-stage ceiling at the same core counts.
     # best-of-two per level with lo/hi INTERLEAVED: this VM's noise
     # comes in multi-minute windows, so two back-to-back lo samples can

@@ -21,7 +21,7 @@ latency win over the reference's published numbers comes from).
 Protocol subset implemented (enough for any MCP client to drive it):
   initialize → capabilities/serverInfo handshake
   notifications/initialized → acknowledged silently
-  tools/list → the two tool schemas
+  tools/list → the three tool schemas
   tools/call → dispatch, result as MCP text content
   ping → {}
 Unknown methods get a JSON-RPC -32601; malformed requests never kill

@@ -240,10 +240,13 @@ def merge_segments(
         (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls")))
     ).collect()[0][0]
 
-    # commit dst, then retire sources (postings + terms + norms move)
-    for s in srcs:
-        _delete_path(spark, f"{paths.postings}/segment_id={s}")
-        _delete_path(spark, f"{paths.terms}/segment_id={s}")
+    # commit dst FIRST, then retire sources — the crash-safety order the
+    # docstring promises (a crash in between leaves src+dst duplicates,
+    # recoverable by re-running the merge; the reverse order could lose
+    # the sources with only the unregistered staging dir holding them).
+    # When dst REUSES a src id (dst_segment defaults to srcs[0]) the
+    # overwrite of that dir is the unavoidable in-place window the
+    # docstring tells callers to avoid with a fresh dst id.
     committed.drop("segment_id").write.mode("overwrite").parquet(
         f"{paths.postings}/segment_id={int(dst_segment)}"
     )
@@ -258,6 +261,10 @@ def merge_segments(
     terms.coalesce(1).sortWithinPartitions("tid").write.mode("overwrite").parquet(
         f"{paths.terms}/segment_id={int(dst_segment)}"
     )
+    for s in srcs:
+        if s != dst_segment:
+            _delete_path(spark, f"{paths.postings}/segment_id={s}")
+            _delete_path(spark, f"{paths.terms}/segment_id={s}")
     # norms: move source norm rows under the dst segment dir (minus
     # purged docs)
     norms = spark.read.parquet(paths.norms).filter(F.col("segment_id").isin(srcs))
@@ -269,11 +276,13 @@ def merge_segments(
     norms_pdf.repartitionByRange(F.col("doc_id")).sortWithinPartitions("doc_id").write.mode(
         "overwrite"
     ).parquet(staging_n)
-    for s in srcs:
-        _delete_path(spark, f"{paths.norms}/segment_id={s}")
+    # same commit-dst-then-retire order as the postings move above
     spark.read.parquet(staging_n).write.mode("overwrite").parquet(
         f"{paths.norms}/segment_id={int(dst_segment)}"
     )
+    for s in srcs:
+        if s != dst_segment:
+            _delete_path(spark, f"{paths.norms}/segment_id={s}")
     _delete_path(spark, staging_n)
 
     # dst inherits the MIN src build_avgdl (wand takes the per-segment

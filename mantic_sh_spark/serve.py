@@ -78,6 +78,8 @@ class IndexReader:
         # neighbor's (review r3 finding)
         self._tls = threading.local()
         self._last_shared: dict = {}  # most-recent counters, any thread
+        self._epoch = 0  # bumped by refresh(): invalidates ALL threads'
+        #                  thread-local last_stats, not just the caller's
         self.totals: dict = {"queries": 0, "segments_touched": 0,
                              "blocks_considered": 0, "blocks_decoded": 0,
                              "terms_cold": 0}
@@ -98,7 +100,11 @@ class IndexReader:
         (like `truncated`) so a concurrent serve_loop's inline
         {"stats": true} response never carries a racing neighbor's
         counters; `counters()["last"]` stays the cross-thread
-        most-recent view."""
+        most-recent view. Stats recorded before the last refresh() are
+        invalid for every thread (epoch check) — counters restart with
+        the new index state."""
+        if getattr(self._tls, "stats_epoch", -1) != self._epoch:
+            return {}
         return getattr(self._tls, "last_stats", {})
 
     # ---------------------------------------------------------- metadata
@@ -156,9 +162,10 @@ class IndexReader:
         self._df_cache.clear()
         self._dead_cache.clear()
         # counters restart with the new index state (counters() promises
-        # totals "since construction/refresh")
+        # totals "since construction/refresh"); the epoch bump
+        # invalidates every thread's thread-local last_stats
         self._last_shared = {}
-        self._tls.last_stats = {}
+        self._epoch += 1
         self.totals = {"queries": 0, "segments_touched": 0,
                        "blocks_considered": 0, "blocks_decoded": 0,
                        "terms_cold": 0}
@@ -397,6 +404,7 @@ class IndexReader:
     def _record_stats(self, stats: dict, t0: float) -> None:
         stats["ms"] = round((time.time() - t0) * 1e3, 3)
         self._tls.last_stats = stats
+        self._tls.stats_epoch = self._epoch
         with self._lock:
             self._last_shared = stats
             self.totals["queries"] += 1
@@ -521,13 +529,20 @@ class IndexReader:
         doc_id asc).
 
         Per-query cost: one tid-pruned probe of each (tiny) tier field
-        index, one bounded score lookup for the tier-matched docs, and
-        one ordinary WAND run for the final tier — corpus-size-
-        independent, like topk()."""
+        index, one score lookup bounded by the TIER-MATCHED doc count,
+        and — only when fewer than k docs tier-match — one ordinary
+        WAND run for the final tier. For a head/stop term that
+        tier-matches much of the corpus the ladder semantics themselves
+        require ranking every match (the batch mode scans everything
+        too); the WAND fill is skipped in exactly that case, so its k
+        never exceeds 2k."""
         import pyarrow.dataset as ds
 
         from .functions.termhash import term_tid
 
+        t0 = time.time()
+        stats = {"segments_touched": 0, "blocks_considered": 0,
+                 "blocks_decoded": 0, "terms_cold": 0}
         specs = self._tier_specs()
         if not specs:
             raise FileNotFoundError(
@@ -536,6 +551,7 @@ class IndexReader:
             )
         terms = sorted(set(tokenize_query(query)))
         if not terms:
+            self._record_stats(stats, t0)
             return []
         tids = {term_tid(t) for t in terms}
         n_tiers = len(specs)
@@ -579,11 +595,16 @@ class IndexReader:
         tier_docs = np.array(sorted(tier_of), dtype=np.int64)
         scores = self._scores_for_docs(terms, tier_docs)
         rows = [(d, tier_of[d], scores[d]) for d in tier_of]
-        # final tier: ordinary WAND top-k, minus the tier-matched docs
-        # (fetch enough extra to survive the exclusion)
-        for d, s in self.topk(query, k=k + len(tier_of)):
-            if d not in tier_of:
-                rows.append((d, n_tiers, s))
+        if len(tier_of) < k:
+            # final tier: ordinary WAND top-k, minus the tier-matched
+            # docs (fetch enough extra to survive the exclusion — < 2k).
+            # When k or more docs tier-matched, final-tier rows can
+            # never reach rows[:k] (tier sorts first): skip the run.
+            for d, s in self.topk(query, k=k + len(tier_of)):
+                if d not in tier_of:
+                    rows.append((d, n_tiers, s))
+        else:
+            self._record_stats(stats, t0)
         rows.sort(key=lambda r: (r[1], -r[2], r[0]))
         return rows[:k]
 
