@@ -10,6 +10,9 @@ messages, the MCP stdio transport) exposing
   * find_references — per-doc token positions of a symbol (the
     reference's positional lookup tool, src/mcp-server.ts:763-847 —
     served from positional postings, not an AST walk)
+  * get_definition  — definition sites of a symbol (keyword-phrase
+    probes over positional postings — the pattern-match analog of the
+    reference's tree-sitter walk, src/code-intel.ts:154-332)
   * index_stats     — corpus + read-amplification counters
 
 backed by ONE long-lived `serve.IndexReader` — no per-query process
@@ -21,7 +24,7 @@ latency win over the reference's published numbers comes from).
 Protocol subset implemented (enough for any MCP client to drive it):
   initialize → capabilities/serverInfo handshake
   notifications/initialized → acknowledged silently
-  tools/list → the three tool schemas
+  tools/list → the four tool schemas
   tools/call → dispatch, result as MCP text content
   ping → {}
 Unknown methods get a JSON-RPC -32601; malformed requests never kill
@@ -77,6 +80,22 @@ TOOLS = [
                 "maxResults": {"type": "integer", "default": 10, "minimum": 1},
                 "maxPositions": {"type": "integer", "default": 100, "minimum": 1,
                                  "description": "max token positions returned per document"},
+            },
+            "required": ["symbol"],
+        },
+    },
+    {
+        "name": "get_definition",
+        "description": (
+            "Find where a symbol is DEFINED: occurrences immediately "
+            "preceded by a definition keyword (def/class/function/...), "
+            "ranked by keyword priority then position."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "symbol": {"type": "string", "description": "identifier to locate the definition of"},
+                "maxResults": {"type": "integer", "default": 10, "minimum": 1},
             },
             "required": ["symbol"],
         },
@@ -166,6 +185,16 @@ class McpServer:
                 max_positions=int(args.get("maxPositions", 100)),
             )
             payload = {"references": refs,
+                       "ms": round((time.time() - t0) * 1e3, 2)}
+            return {
+                "content": [{"type": "text", "text": json.dumps(payload)}],
+                "isError": False,
+            }
+        if name == "get_definition":
+            t0 = time.time()
+            defs = self.reader.definitions(
+                args["symbol"], k=int(args.get("maxResults", 10)))
+            payload = {"definitions": defs,
                        "ms": round((time.time() - t0) * 1e3, 2)}
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],

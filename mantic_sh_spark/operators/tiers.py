@@ -64,7 +64,10 @@ def build_tier_index(
             .select("tid", "doc_id")
         )
         (
-            rows.repartitionByRange(8, "tid")
+            # partition count from spark.sql.shuffle.partitions (AQE
+            # coalesces small builds) — a fixed count would bottleneck
+            # the ~W rows/doc explode at 10^9-doc scale
+            rows.repartitionByRange(F.col("tid"))
             .sortWithinPartitions("tid", "doc_id")
             .write.mode("overwrite")
             .parquet(f"{paths.tier_index}/field={i}_{name}")

@@ -658,6 +658,65 @@ class IndexReader:
             for d, p in hits
         ]
 
+    # definition-introducing keywords, most-specific first: a
+    # "definition" of symbol X is an occurrence of X immediately
+    # preceded by one of these (the positional-index analog of the
+    # reference's language-pattern walk, src/code-intel.ts:154-332 —
+    # it matches `def X` / `class X` / `function X` / … text patterns;
+    # here each is literally the phrase [kw, *tokenize(X)])
+    DEF_KEYWORDS = ("def", "class", "function", "interface", "struct",
+                    "type", "const", "fn", "var", "let")
+
+    def definitions(self, symbol: str, k: int = 10) -> list[dict]:
+        """Where is `symbol` DEFINED — [(url, keyword, position)] ranked
+        (keyword priority, position asc, doc_id asc): the serving form
+        of the reference's `get_definition` MCP tool
+        (src/mcp-server.ts:763-847). Each definition keyword is one
+        phrase probe [kw, *symbol-tokens] over positional postings; the
+        reported position is the SYMBOL's token position (kw position
+        + 1). Returns at most one hit per (doc, keyword) — the first
+        occurrence, like a goto-definition target."""
+        from .functions.tokenize import tokenize
+        from .operators.phrase import segment_phrase_positions
+
+        t0 = time.time()
+        stats = {"segments_touched": 0, "blocks_considered": 0,
+                 "blocks_decoded": 0, "terms_cold": 0}
+        self.truncated = False
+        if not self.has_positions:
+            raise ValueError(
+                "get_definition requires an index built with store_positions=True")
+        sym = tokenize(symbol)
+        if not sym:
+            self._record_stats(stats, t0)
+            return []
+        want = sorted(set(list(self.DEF_KEYWORDS) + sym))
+        blocks = self._pos_blocks(want, stats=stats)
+        per_seg: dict[int, dict[str, object]] = {}
+        for t, pdf in blocks.items():
+            if not len(pdf):
+                continue
+            for seg, g in pdf.groupby("segment_id"):
+                per_seg.setdefault(int(seg), {})[t] = g
+        hits: list[tuple[int, int, int]] = []  # (kw_rank, pos, doc)
+        for seg, by_term in per_seg.items():
+            stats["segments_touched"] += 1
+            nb = sum(len(g) for g in by_term.values())
+            stats["blocks_considered"] += nb
+            stats["blocks_decoded"] += nb
+            dead = self._dead(seg)
+            for ki, kw in enumerate(self.DEF_KEYWORDS):
+                for doc, pos in segment_phrase_positions(by_term, [kw] + sym, dead):
+                    hits.append((ki, int(pos[0]) + 1, doc))
+        hits.sort()
+        url_map = self.urls([d for _, _, d in hits[:k]])
+        self._record_stats(stats, t0)
+        return [
+            {"doc_id": d, "url": url_map.get(d),
+             "keyword": self.DEF_KEYWORDS[ki], "position": p}
+            for ki, p, d in hits[:k]
+        ]
+
     def search(self, query: str, k: int = 10, with_urls: bool = False,
                phrase: bool = False, slop: int = 0,
                budget_ms: float | None = None,

@@ -204,6 +204,53 @@ def test_reader_phrase_matches_spark_engine(spark, tmp_path):
     assert top["positions"] and len(top["positions"]) <= 3 and top["url"]
 
 
+def test_get_definition(spark, tmp_path):
+    """get_definition (reference: src/code-intel.ts pattern walk as
+    keyword-phrase probes over positional postings): definition sites =
+    symbol occurrences immediately preceded by a definition keyword,
+    ranked (keyword priority, position, doc); camelCase symbols match
+    through tokenization; plain references are NOT definitions."""
+    import pandas as pd
+
+    from mantic_sh_spark.mcp import McpServer
+    from mantic_sh_spark.operators.index_build import build_index
+
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://ex.com/f{i}" for i in range(4)],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * 4),
+        "html": [b""] * 4,
+        "text": [
+            "import parseHtml from lib\ndef parseHtml means parse then html",
+            "uses parseHtml twice parseHtml here but never defines it",
+            "class parseHtml wraps the parser",
+            "filler words only nothing else",
+        ],
+        "lang": ["en"] * 4,
+    }))
+    idx = str(tmp_path / "defidx")
+    build_index(spark, pages, idx, n_segments=1, store_positions=True)
+    reader = IndexReader(idx)
+
+    defs = reader.definitions("parseHtml", k=10)
+    # 'def' outranks 'class'; doc 1 (references only) absent
+    assert [d["url"] for d in defs] == ["https://ex.com/f0", "https://ex.com/f2"]
+    assert defs[0]["keyword"] == "def" and defs[1]["keyword"] == "class"
+    # position = the SYMBOL's token index: f0 tokens are
+    # [import, parse, html, from, lib, def, parse, html, ...] → 6
+    assert defs[0]["position"] == 6
+    assert defs[1]["position"] == 1
+    assert reader.definitions("qqnosuchsymbol") == []
+
+    # MCP surface
+    srv = McpServer(idx, reader=reader)
+    resp = srv.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                       "params": {"name": "get_definition",
+                                  "arguments": {"symbol": "parseHtml"}}})
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    assert [d["url"] for d in payload["definitions"]] == [
+        "https://ex.com/f0", "https://ex.com/f2"]
+
+
 def test_timeout_guard_returns_partial(spark, small_corpus):
     """ST4: a per-request time budget stops the segment sweep after the
     deadline — at least one segment always answers, the reader flags
