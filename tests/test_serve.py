@@ -318,7 +318,7 @@ def test_mcp_round_trip(spark, small_corpus):
     # tool discovery
     names = [t["name"] for t in by_id[2]["result"]["tools"]]
     assert "search_files" in names and "index_stats" in names
-    assert "find_references" in names
+    assert "find_references" in names and "get_definition" in names
     # search_files call: content payload matches the reader directly
     content = json.loads(by_id[3]["result"]["content"][0]["text"])
     reader = IndexReader(idx)
