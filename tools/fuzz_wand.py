@@ -84,6 +84,25 @@ for seed, bs, cs, nseg, vocab, do_merge in cases:
                     n += 1
             return n
 
+        def brute_starts(tokens, terms):
+            # valid match-START positions (slop 0) — the references oracle
+            pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
+            if any(not pos[t] for t in terms):
+                return []
+            out = []
+            for p0 in pos[terms[0]]:
+                prev, good = p0, True
+                for t in terms[1:]:
+                    lst = pos[t]
+                    j = bisect.bisect_right(lst, prev)
+                    if j >= len(lst):
+                        good = False
+                        break
+                    prev = lst[j]
+                if good and (prev - p0 - (len(terms) - 1)) <= 0:
+                    out.append(p0)
+            return out
+
         st = cfg.stop_term
         phrases = [(0, f"{st} w1x", 0), (1, f"{st} {st}", 0), (2, "w2x w3x", 0),
                    (3, f"w1x {st} w4x", seed % 3), (4, f"{st} w5x", 2), (5, "w7x", 0)]
@@ -98,6 +117,16 @@ for seed, bs, cs, nseg, vocab, do_merge in cases:
                 phrase_ok = False
             sgot = dict(preader.phrase_topk(ph, k=10**6, slop=slop))
             if sgot != want:
+                phrase_ok = False
+        # find_references serving kernel vs the start-position oracle
+        # (single-term, multi-term, and stop-term symbols)
+        for sym in (f"{st} w1x", "w2x w3x", "w7x"):
+            terms = tokenize(sym)
+            rwant = {d: brute_starts(toks, terms) for d, toks in doc_toks.items()}
+            rwant = {d: v for d, v in rwant.items() if v}
+            rgot = {r["doc_id"]: r["positions"]
+                    for r in preader.references(sym, k=10**6, max_positions=10**6)}
+            if rgot != rwant:
                 phrase_ok = False
         shutil.rmtree(posidx, ignore_errors=True)
     fails += not (ok and serve_ok and phrase_ok)
