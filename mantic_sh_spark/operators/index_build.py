@@ -451,7 +451,12 @@ def build_index(
         from concurrent.futures import ThreadPoolExecutor
 
         def _norms_write():
-            doc_stats(docs_read).repartition("segment_id").write.mode(
+            # NO repartition: the docs table is already hive-partitioned
+            # by segment_id (one dir per segment), so each scan task
+            # holds rows of exactly one segment — the dynamic-partition
+            # write lands them in place and an exchange here would move
+            # the 3-col projection for an identical layout
+            doc_stats(docs_read).write.mode(
                 "overwrite"
             ).partitionBy("segment_id").parquet(paths.norms)
 

@@ -71,9 +71,12 @@ def extend_index(
         .parquet(paths.docs)
     )
     all_docs = spark.read.parquet(paths.docs)
-    doc_stats(all_docs).filter(F.col("segment_id") >= seg_base).repartition(
-        "segment_id"
-    ).write.mode("append").partitionBy("segment_id").parquet(paths.norms)
+    # no repartition: docs are hive-partitioned by segment already, so
+    # scan tasks are segment-aligned and the dynamic-partition append
+    # lands rows in place (same reasoning as the fresh-build norms write)
+    doc_stats(all_docs).filter(F.col("segment_id") >= seg_base).write.mode(
+        "append"
+    ).partitionBy("segment_id").parquet(paths.norms)
     # recompute global stats over the norms table (cheap columnar agg)
     norms = spark.read.parquet(paths.norms)
     new_stats = norms.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
