@@ -11,6 +11,8 @@ Usage (local):
     python main.py delete --index /path/idx --urls https://site0.example/...
     python main.py synth  --out /path/pages --n-docs 100000
     python main.py stats  --index /path/idx
+    python main.py refs   --index /path/idx --symbol parseHtml
+    python main.py defs   --index /path/idx --symbol parseHtml
 
 Cluster: spark-submit --py-files mantic_sh_spark.zip main.py build ...
 """
@@ -91,6 +93,19 @@ def main(argv: list[str] | None = None) -> int:
                    help="md renders a per-query markdown table (the reference's "
                         "context-formatter output shape)")
 
+    rf = sub.add_parser("refs", help="find_references: per-doc token positions of a "
+                                     "symbol (positional index; no Spark job)")
+    rf.add_argument("--index", required=True)
+    rf.add_argument("--symbol", required=True)
+    rf.add_argument("--k", type=int, default=10)
+    rf.add_argument("--max-positions", type=int, default=100)
+
+    df_ = sub.add_parser("defs", help="get_definition: definition sites of a symbol "
+                                      "(keyword-phrase probes; no Spark job)")
+    df_.add_argument("--index", required=True)
+    df_.add_argument("--symbol", required=True)
+    df_.add_argument("--k", type=int, default=10)
+
     st = sub.add_parser("stats", help="index build metrics")
     st.add_argument("--index", required=True)
 
@@ -123,6 +138,19 @@ def main(argv: list[str] | None = None) -> int:
 
         handled = serve_stdio(args.index)
         print(json.dumps({"handled": handled}), file=sys.stderr)
+        return 0
+
+    if args.cmd in ("refs", "defs"):
+        # serving-plane lookups — no Spark session
+        from .serve import IndexReader
+
+        reader = IndexReader(args.index)
+        if args.cmd == "refs":
+            out = reader.references(args.symbol, k=args.k,
+                                    max_positions=args.max_positions)
+        else:
+            out = reader.definitions(args.symbol, k=args.k)
+        print(json.dumps(out))
         return 0
 
     if args.cmd == "synth":

@@ -36,6 +36,34 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert st2["segments"] == 3
 
 
+def test_cli_refs_and_defs(spark, tmp_path, capsys):
+    """refs/defs subcommands: serving-plane positional lookups with no
+    Spark job (beyond the build), value-consistent with the reader."""
+    import pandas as pd
+
+    from mantic_sh_spark.operators.index_build import build_index
+
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": ["https://x/a", "https://x/b"],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * 2),
+        "html": [b""] * 2,
+        "text": ["def alpha does things alpha again", "alpha used here"],
+        "lang": ["en"] * 2,
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=1, store_positions=True)
+
+    assert main(["refs", "--index", idx, "--symbol", "alpha", "--k", "5"]) == 0
+    refs = json.loads(capsys.readouterr().out.strip())
+    assert {r["url"]: r["positions"] for r in refs} == {
+        "https://x/a": [1, 4], "https://x/b": [0]}
+
+    assert main(["defs", "--index", idx, "--symbol", "alpha"]) == 0
+    defs = json.loads(capsys.readouterr().out.strip())
+    assert [(d["url"], d["keyword"], d["position"]) for d in defs] == [
+        ("https://x/a", "def", 1)]
+
+
 def test_cli_extend_and_merge(spark, tmp_path, capsys):
     pages = str(tmp_path / "pages")
     more = str(tmp_path / "more")
