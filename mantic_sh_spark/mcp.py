@@ -62,6 +62,8 @@ TOOLS = [
                              "description": "include a context window around the first hit"},
                 "budgetMs": {"type": "number",
                              "description": "soft deadline; partial results are flagged"},
+                "indexDir": {"type": "string",
+                             "description": "target another committed index (LRU pool)"},
             },
             "required": ["query"],
         },
@@ -80,6 +82,8 @@ TOOLS = [
                 "maxResults": {"type": "integer", "default": 10, "minimum": 1},
                 "maxPositions": {"type": "integer", "default": 100, "minimum": 1,
                                  "description": "max token positions returned per document"},
+                "indexDir": {"type": "string",
+                             "description": "target another committed index (LRU pool)"},
             },
             "required": ["symbol"],
         },
@@ -96,6 +100,8 @@ TOOLS = [
             "properties": {
                 "symbol": {"type": "string", "description": "identifier to locate the definition of"},
                 "maxResults": {"type": "integer", "default": 10, "minimum": 1},
+                "indexDir": {"type": "string",
+                             "description": "target another committed index (LRU pool)"},
             },
             "required": ["symbol"],
         },
@@ -103,19 +109,35 @@ TOOLS = [
     {
         "name": "index_stats",
         "description": "Corpus size, average doc length, and reader cache/read-amplification counters.",
-        "inputSchema": {"type": "object", "properties": {}},
+        "inputSchema": {"type": "object", "properties": {
+            "indexDir": {"type": "string",
+                         "description": "target another committed index (LRU pool)"},
+        }},
     },
 ]
 
 
 class McpServer:
-    """Stateful MCP server over one index. Transport-agnostic: `handle`
-    maps a parsed JSON-RPC request to a response dict (None for
-    notifications), `serve_stdio` wires it to newline-delimited stdio."""
+    """Stateful MCP server over a DEFAULT index plus an LRU pool of
+    further indexes: every tool accepts an optional `indexDir` argument
+    targeting another committed index, served from `serve.ReaderPool`
+    (the reference's MCP server does the same — its tools take a repo
+    path and it keeps an LRU of loaded indexes, src/cache.ts:10-47).
+    Transport-agnostic: `handle` maps a parsed JSON-RPC request to a
+    response dict (None for notifications), `serve_stdio` wires it to
+    newline-delimited stdio."""
 
-    def __init__(self, index_dir: str, reader: IndexReader | None = None):
-        self.reader = reader if reader is not None else IndexReader(index_dir)
+    def __init__(self, index_dir: str, reader: IndexReader | None = None,
+                 max_readers: int = 8):
+        from .serve import ReaderPool
+
+        self.pool = ReaderPool(max_readers=max_readers)
+        self.reader = reader if reader is not None else self.pool.get(index_dir)
         self.n_calls = 0
+
+    def _reader_for(self, args: dict) -> IndexReader:
+        idx = args.get("indexDir")
+        return self.reader if not idx else self.pool.get(idx)
 
     # ------------------------------------------------------------ rpc
     def handle(self, req: dict) -> dict | None:
@@ -155,10 +177,11 @@ class McpServer:
         name = params.get("name")
         args = params.get("arguments") or {}
         self.n_calls += 1
+        reader = self._reader_for(args)
         if name == "search_files":
             t0 = time.time()
             budget = args.get("budgetMs")
-            results = self.reader.search(
+            results = reader.search(
                 args["query"],
                 k=int(args.get("maxResults", 10)),
                 with_urls=True,
@@ -171,7 +194,7 @@ class McpServer:
                 "results": results,
                 "ms": round((time.time() - t0) * 1e3, 2),
             }
-            if self.reader.truncated:
+            if reader.truncated:
                 payload["truncated"] = True
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],
@@ -179,7 +202,7 @@ class McpServer:
             }
         if name == "find_references":
             t0 = time.time()
-            refs = self.reader.references(
+            refs = reader.references(
                 args["symbol"],
                 k=int(args.get("maxResults", 10)),
                 max_positions=int(args.get("maxPositions", 100)),
@@ -192,7 +215,7 @@ class McpServer:
             }
         if name == "get_definition":
             t0 = time.time()
-            defs = self.reader.definitions(
+            defs = reader.definitions(
                 args["symbol"], k=int(args.get("maxResults", 10)))
             payload = {"definitions": defs,
                        "ms": round((time.time() - t0) * 1e3, 2)}
@@ -202,10 +225,10 @@ class McpServer:
             }
         if name == "index_stats":
             payload = {
-                "n_docs": self.reader.n_docs,
-                "avgdl": self.reader.avgdl,
+                "n_docs": reader.n_docs,
+                "avgdl": reader.avgdl,
                 "calls": self.n_calls,
-                **self.reader.counters(),
+                **reader.counters(),
             }
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],

@@ -741,6 +741,56 @@ class IndexReader:
         ]
 
 
+class ReaderPool:
+    """index_dir → IndexReader LRU (ST3: the reference keeps exactly
+    this — an in-proc LRU over loaded repo indexes, src/cache.ts:10-47
+    — so one serving process can answer for many indexes without
+    re-reading metadata per query). Thread-safe; eviction drops the
+    least-recently-used reader and its caches. Reader CONSTRUCTION
+    (metadata I/O) runs outside the lock; racing threads may build the
+    same reader twice, the loser's copy is discarded (idempotent)."""
+
+    def __init__(self, max_readers: int = 8, k1: float = K1, b: float = B):
+        self.max_readers = max(1, int(max_readers))
+        self.k1, self.b = k1, b
+        self._lock = threading.Lock()
+        self._lru: OrderedDict[str, IndexReader] = OrderedDict()
+
+    @staticmethod
+    def _key(index_dir: str) -> str:
+        import os
+
+        return os.path.abspath(os.path.normpath(index_dir))
+
+    def get(self, index_dir: str) -> IndexReader:
+        key = self._key(index_dir)
+        with self._lock:
+            r = self._lru.get(key)
+            if r is not None:
+                self._lru.move_to_end(key)
+                return r
+        built = IndexReader(index_dir, k1=self.k1, b=self.b)
+        with self._lock:
+            r = self._lru.get(key)
+            if r is None:
+                self._lru[key] = built
+                r = built
+            self._lru.move_to_end(key)
+            while len(self._lru) > self.max_readers:
+                self._lru.popitem(last=False)
+        return r
+
+    def refresh(self, index_dir: str | None = None) -> None:
+        """Refresh one reader (if loaded) or every loaded reader."""
+        with self._lock:
+            readers = (
+                list(self._lru.values()) if index_dir is None
+                else [r for k, r in self._lru.items() if k == self._key(index_dir)]
+            )
+        for r in readers:
+            r.refresh()
+
+
 class QueryLog:
     """Buffered parquet sink for the serving session's query history —
     the reference's session/pattern sink (S9; its MCP server persists

@@ -423,6 +423,45 @@ def test_serve_loop_concurrent_ids(spark, small_corpus):
         assert resps[i]["results"] == json.loads(json.dumps(want)), q
 
 
+def test_reader_pool_and_mcp_index_dir(spark, small_corpus, tmp_path):
+    """ST3 multi-index serving: ReaderPool LRU (reference keeps an LRU
+    of loaded repo indexes, src/cache.ts:10-47) + per-call indexDir on
+    MCP tools routing to pooled readers."""
+    from mantic_sh_spark.mcp import McpServer
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.serve import ReaderPool
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    idx1 = small_corpus["index_dir"]
+    idx2 = str(tmp_path / "idx2")
+    build_index(spark, gen_pages(spark, SynthConfig(n_docs=60, vocab_size=80, seed=5),
+                                 partitions=1), idx2, n_segments=1)
+
+    pool = ReaderPool(max_readers=1)
+    r1 = pool.get(idx1)
+    assert pool.get(idx1 + "/") is r1  # normalized key, cache hit
+    r2 = pool.get(idx2)                # evicts idx1 (capacity 1)
+    assert pool.get(idx2) is r2
+    assert pool.get(idx1) is not r1    # rebuilt after eviction
+
+    srv = McpServer(idx1)
+    def _stats(args):
+        resp = srv.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                           "params": {"name": "index_stats", "arguments": args}})
+        return json.loads(resp["result"]["content"][0]["text"])
+    assert _stats({})["n_docs"] == 400                 # default index
+    assert _stats({"indexDir": idx2})["n_docs"] == 60  # pooled second index
+
+    # search routed to the second index returns ITS corpus' urls
+    resp = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                       "params": {"name": "search_files",
+                                  "arguments": {"query": "w1x", "maxResults": 3,
+                                                "indexDir": idx2}}})
+    res = json.loads(resp["result"]["content"][0]["text"])["results"]
+    want = {d for d, _ in IndexReader(idx2).topk("w1x", 3)}
+    assert {r["doc_id"] for r in res} == want and want
+
+
 def test_snippets(spark, small_corpus):
     """Context windows (reference: src/context-formatter.ts — matched
     context around each hit): a ~width-char window centered on the
