@@ -127,17 +127,28 @@ class McpServer:
     response dict (None for notifications), `serve_stdio` wires it to
     newline-delimited stdio."""
 
+    _TOOL_NAMES = frozenset(
+        ("search_files", "find_references", "get_definition", "index_stats"))
+
     def __init__(self, index_dir: str, reader: IndexReader | None = None,
                  max_readers: int = 8):
         from .serve import ReaderPool
 
         self.pool = ReaderPool(max_readers=max_readers)
+        self._default_key = ReaderPool._key(index_dir)
         self.reader = reader if reader is not None else self.pool.get(index_dir)
         self.n_calls = 0
 
     def _reader_for(self, args: dict) -> IndexReader:
+        from .serve import ReaderPool
+
         idx = args.get("indexDir")
-        return self.reader if not idx else self.pool.get(idx)
+        if not idx or ReaderPool._key(idx) == self._default_key:
+            # the default index is pinned on self.reader, never the
+            # pool: an indexDir spelling of the default must not build
+            # a duplicate reader (injected reader / LRU eviction cases)
+            return self.reader
+        return self.pool.get(idx)
 
     # ------------------------------------------------------------ rpc
     def handle(self, req: dict) -> dict | None:
@@ -177,6 +188,10 @@ class McpServer:
         name = params.get("name")
         args = params.get("arguments") or {}
         self.n_calls += 1
+        if name not in self._TOOL_NAMES:
+            # validate BEFORE resolving indexDir: an unknown tool must
+            # not pay reader construction or evict a pooled reader
+            raise ValueError(f"unknown tool: {name}")
         reader = self._reader_for(args)
         if name == "search_files":
             t0 = time.time()

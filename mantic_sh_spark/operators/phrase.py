@@ -74,17 +74,29 @@ def _gather_runs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
 
 def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
                          dead: np.ndarray | None = None,
-                         slop: int = 0):
+                         slop: int = 0,
+                         decoded_cache: dict | None = None):
     """Core batched phrase verification → (cand_docs, doc_rank0, p0,
     valid): one element per START position of the first term across
     every candidate doc; `valid` marks the starts where the full
     in-order (≤ slop stretch) match verified. Callers derive counts
     (segment_phrase_matches) or the match positions themselves
     (segment_phrase_positions — the `find_references` surface) from the
-    same pass. Returns None when no candidate survives."""
+    same pass. Returns None when no candidate survives.
+
+    `decoded_cache` (term → _term_postings result) lets a caller that
+    probes MANY phrases over one segment (get_definition: one probe per
+    definition keyword) decode each term's blocks once instead of once
+    per probe."""
     if not terms or any(t not in by_term for t in terms):
         return None
-    decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
+    if decoded_cache is None:
+        decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
+    else:
+        decoded = {
+            t: decoded_cache.setdefault(t, _term_postings(by_term[t]))
+            for t in set(terms)
+        }
     # candidate docs: intersect doc sets, smallest first
     doc_sets = [decoded[t][0] for t in terms]
     cand = doc_sets[0]
@@ -165,7 +177,8 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
 
 def segment_phrase_positions(by_term: dict[str, pd.DataFrame], terms: list[str],
                              dead: np.ndarray | None = None,
-                             slop: int = 0) -> list[tuple[int, np.ndarray]]:
+                             slop: int = 0,
+                             decoded_cache: dict | None = None) -> list[tuple[int, np.ndarray]]:
     """One (segment, phrase/symbol) evaluation → [(doc_id, ascending
     match-START token positions)] — the positional payload behind
     `find_references` (reference: src/code-intel.ts:337-383 /
@@ -174,7 +187,7 @@ def segment_phrase_positions(by_term: dict[str, pd.DataFrame], terms: list[str],
     camelCase identifiers match as exact phrases). Same batched kernel
     as segment_phrase_matches — the starts are already computed; this
     just groups them by doc instead of counting."""
-    r = _phrase_match_starts(by_term, terms, dead, slop)
+    r = _phrase_match_starts(by_term, terms, dead, slop, decoded_cache=decoded_cache)
     if r is None:
         return []
     cand, doc_rank0, p0, valid = r

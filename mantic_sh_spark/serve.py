@@ -432,6 +432,24 @@ class IndexReader:
                                   _POSTING_COLS + ["positions", "segment_id"], terms,
                                   stats=stats)
 
+    def _pos_blocks_by_segment(self, terms: list[str],
+                               stats: dict) -> dict[int, dict[str, "object"]]:
+        """Positional blocks for `terms`, regrouped per segment —
+        the shared front half of every positional serving query
+        (phrase_topk / references / definitions). Counts
+        blocks_considered; decode accounting is the caller's (it knows
+        which segments its kernel actually decodes)."""
+        blocks = self._pos_blocks(terms, stats=stats)
+        per_seg: dict[int, dict[str, object]] = {}
+        for t, pdf in blocks.items():
+            if not len(pdf):
+                continue
+            for seg, g in pdf.groupby("segment_id"):
+                per_seg.setdefault(int(seg), {})[t] = g
+        for by_term in per_seg.values():
+            stats["blocks_considered"] += sum(len(g) for g in by_term.values())
+        return per_seg
+
     def phrase_topk(self, phrase: str, k: int = 10, slop: int = 0) -> list[tuple[int, int]]:
         """[(doc_id, n_matches)] ranked (n_matches desc, doc_id asc) —
         exact/sloppy phrase served from positional postings with no
@@ -450,21 +468,13 @@ class IndexReader:
         if not terms:
             self._record_stats(stats, t0)
             return []
-        blocks = self._pos_blocks(sorted(set(terms)), stats=stats)
-        per_seg: dict[int, dict[str, object]] = {}
-        for t, pdf in blocks.items():
-            if not len(pdf):
-                continue
-            for seg, g in pdf.groupby("segment_id"):
-                per_seg.setdefault(int(seg), {})[t] = g
+        per_seg = self._pos_blocks_by_segment(sorted(set(terms)), stats)
         hits: list[tuple[int, int]] = []
         for seg, by_term in per_seg.items():
             stats["segments_touched"] += 1
             # the phrase kernel decodes every block of its candidate
             # terms (positions must materialize to verify adjacency)
-            nb = sum(len(g) for g in by_term.values())
-            stats["blocks_considered"] += nb
-            stats["blocks_decoded"] += nb
+            stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
             hits.extend(segment_phrase_matches(by_term, terms, self._dead(seg), slop))
         hits.sort(key=lambda x: (-x[1], x[0]))
         self._record_stats(stats, t0)
@@ -634,19 +644,11 @@ class IndexReader:
         if not terms:
             self._record_stats(stats, t0)
             return []
-        blocks = self._pos_blocks(sorted(set(terms)), stats=stats)
-        per_seg: dict[int, dict[str, object]] = {}
-        for t, pdf in blocks.items():
-            if not len(pdf):
-                continue
-            for seg, g in pdf.groupby("segment_id"):
-                per_seg.setdefault(int(seg), {})[t] = g
+        per_seg = self._pos_blocks_by_segment(sorted(set(terms)), stats)
         hits: list[tuple[int, "np.ndarray"]] = []
         for seg, by_term in per_seg.items():
             stats["segments_touched"] += 1
-            nb = sum(len(g) for g in by_term.values())
-            stats["blocks_considered"] += nb
-            stats["blocks_decoded"] += nb
+            stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
             hits.extend(segment_phrase_positions(by_term, terms, self._dead(seg)))
         hits.sort(key=lambda x: (-len(x[1]), x[0]))
         hits = hits[:k]
@@ -690,23 +692,39 @@ class IndexReader:
         if not sym:
             self._record_stats(stats, t0)
             return []
-        want = sorted(set(list(self.DEF_KEYWORDS) + sym))
-        blocks = self._pos_blocks(want, stats=stats)
-        per_seg: dict[int, dict[str, object]] = {}
-        for t, pdf in blocks.items():
-            if not len(pdf):
-                continue
-            for seg, g in pdf.groupby("segment_id"):
-                per_seg.setdefault(int(seg), {})[t] = g
+        # df-probe FIRST (cheap terms-dir reads, no position payloads):
+        # an absent symbol token means no definition phrase can match,
+        # and an absent keyword need not be fetched — without this the
+        # head-term keywords' (large) positional postings would be read
+        # and LRU-cached even for typo symbols (review r4 finding)
+        dfs = self.df(sorted(set(list(self.DEF_KEYWORDS) + sym)))
+        if any(dfs[t] == 0 for t in sym):
+            self._record_stats(stats, t0)
+            return []
+        kws = [kw for kw in self.DEF_KEYWORDS if dfs[kw] > 0]
+        if not kws:
+            self._record_stats(stats, t0)
+            return []
+        per_seg = self._pos_blocks_by_segment(sorted(set(kws + sym)), stats)
         hits: list[tuple[int, int, int]] = []  # (kw_rank, pos, doc)
         for seg, by_term in per_seg.items():
+            if not all(t in by_term for t in sym):
+                continue  # symbol absent from this segment — no decode
+            seg_kws = [kw for kw in kws if kw in by_term]
+            if not seg_kws:
+                continue
             stats["segments_touched"] += 1
-            nb = sum(len(g) for g in by_term.values())
-            stats["blocks_considered"] += nb
-            stats["blocks_decoded"] += nb
+            # one decode per (segment, term) shared across the keyword
+            # probes (decoded_cache), so the accounting is exact
+            stats["blocks_decoded"] += sum(
+                len(by_term[t]) for t in set(seg_kws + sym))
             dead = self._dead(seg)
+            cache: dict = {}
             for ki, kw in enumerate(self.DEF_KEYWORDS):
-                for doc, pos in segment_phrase_positions(by_term, [kw] + sym, dead):
+                if kw not in by_term:
+                    continue
+                for doc, pos in segment_phrase_positions(
+                        by_term, [kw] + sym, dead, decoded_cache=cache):
                     hits.append((ki, int(pos[0]) + 1, doc))
         hits.sort()
         url_map = self.urls([d for _, _, d in hits[:k]])

@@ -64,28 +64,10 @@ for seed, bs, cs, nseg, vocab, do_merge in cases:
             for r in spark.read.parquet(f"{posidx}/docs").select("doc_id", "text").collect()
         }
 
-        def brute(tokens, terms, slop):
+        def brute_starts(tokens, terms, slop=0):
             # independent greedy oracle: for each start of terms[0], take
-            # the smallest next position per term; valid if stretch<=slop
-            pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
-            if any(not pos[t] for t in terms):
-                return 0
-            n = 0
-            for p0 in pos[terms[0]]:
-                prev, good = p0, True
-                for t in terms[1:]:
-                    lst = pos[t]
-                    j = bisect.bisect_right(lst, prev)
-                    if j >= len(lst):
-                        good = False
-                        break
-                    prev = lst[j]
-                if good and (prev - p0 - (len(terms) - 1)) <= slop:
-                    n += 1
-            return n
-
-        def brute_starts(tokens, terms):
-            # valid match-START positions (slop 0) — the references oracle
+            # the smallest next position per term; valid if stretch<=slop.
+            # Returns the valid match-START positions (count = len).
             pos = {t: [i for i, x in enumerate(tokens) if x == t] for t in set(terms)}
             if any(not pos[t] for t in terms):
                 return []
@@ -99,9 +81,12 @@ for seed, bs, cs, nseg, vocab, do_merge in cases:
                         good = False
                         break
                     prev = lst[j]
-                if good and (prev - p0 - (len(terms) - 1)) <= 0:
+                if good and (prev - p0 - (len(terms) - 1)) <= slop:
                     out.append(p0)
             return out
+
+        def brute(tokens, terms, slop):
+            return len(brute_starts(tokens, terms, slop))
 
         st = cfg.stop_term
         phrases = [(0, f"{st} w1x", 0), (1, f"{st} {st}", 0), (2, "w2x w3x", 0),
