@@ -157,6 +157,7 @@ class IndexReader:
         self._postings = self._dataset_or_none(self.paths.postings)
         self._terms = self._dataset_or_none(self.paths.terms)
         self._docs = self._dataset_or_none(self.paths.docs)
+        self._tier_specs_cache = None
         self._blocks_lru.clear()
         self._pos_lru.clear()
         self._df_cache.clear()
@@ -518,15 +519,22 @@ class IndexReader:
 
     def _tier_specs(self) -> list[tuple[int, str]]:
         """Ordered (ord, field-dir name) pairs from tier_index_meta, or
-        [] when no tier index is materialized."""
+        [] when no tier index is materialized. Cached until refresh()
+        (mutations delete + rebuild the sidecar, and the refresh
+        contract already governs when the reader sees mutations)."""
         import pyarrow.dataset as ds
 
+        cached = getattr(self, "_tier_specs_cache", None)
+        if cached is not None:
+            return cached
         try:
             d = ds.dataset(self.paths.tier_meta, format="parquet")
+            t = d.to_table(columns=["ord", "name"]).to_pydict()
+            specs = sorted(zip((int(o) for o in t["ord"]), t["name"]))
         except FileNotFoundError:
-            return []
-        t = d.to_table(columns=["ord", "name"]).to_pydict()
-        return sorted(zip((int(o) for o in t["ord"]), t["name"]))
+            specs = []
+        self._tier_specs_cache = specs
+        return specs
 
     def tiered_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
         """[(doc_id, tier, score)] — the R1 tier ladder SERVED from the

@@ -65,6 +65,33 @@ def test_tiered_serving_matches_batch(spark, small_corpus):
         reader2.tiered_topk("w1x")
 
 
+def test_tiered_excludes_deleted_docs(spark, tmp_path):
+    """Liveness on the tiered path: tombstoning a tier-matched doc (no
+    purge, tier index left in place) must drop it from tiered serving
+    after refresh — the per-segment sidecar check inside tiered_topk."""
+    from mantic_sh_spark.operators.delete import delete_docs
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    cfg = SynthConfig(n_docs=100, vocab_size=120, seed=11)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_tier_index(spark, idx)
+
+    reader = IndexReader(idx)
+    before = reader.tiered_topk("w1x", k=6)
+    assert before
+    victim = before[0][0]
+    delete_docs(spark, idx, doc_ids=[victim])
+    reader.refresh()
+    after = reader.tiered_topk("w1x", k=6)
+    assert victim not in {d for d, _, _ in after}
+    # the rest of the ranking is unchanged (victim was rank 1, so the
+    # survivors shift up; a new doc may enter at the tail)
+    assert after[: len(before) - 1] == before[1:]
+
+
 def test_tier_index_invalidated_by_mutation(spark, tmp_path):
     from mantic_sh_spark.operators.index_build import build_index
     from mantic_sh_spark.sources.catalog import IndexPaths
