@@ -345,11 +345,14 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     be_p = enc.pop("p_end")
     tidx = grows[gi]
 
+    _bin_lens: list = []  # per-block byte length of each binary column
+
     def _bin(pair):
         # zero-copy binary column: blocks tile the value space, so the
         # Arrow offsets are offsets[bstarts] + one trailing end
         buf, offsets = pair
         nb = len(bs_p)
+        _bin_lens.append(offsets[be_p] - offsets[bs_p])
         end = int(offsets[be_p[-1]]) if nb else 0
         if end >= 2**31:  # int32 Arrow offsets would wrap silently
             raise OverflowError(
@@ -374,8 +377,14 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
         _bin(enc["tfs"]),
         _bin(enc["dls"]),
     ]
+    # per-block compressed size (gaps+tfs+dls — positions excluded, as
+    # in the terms-directory metric): stored so index maintenance can
+    # aggregate sizes from a few int columns instead of scanning the
+    # binary payloads (measured 2.8 s of the 4.5 s terms job at sf0.1)
+    arrays.append(pa.array(
+        (_bin_lens[0] + _bin_lens[1] + _bin_lens[2]).astype(np.int32)))
     names = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
-             "doc_gaps", "tfs", "dls"]
+             "doc_gaps", "tfs", "dls", "nbytes"]
     if with_positions:
         # per-posting position deltas (first value of each posting run
         # is the absolute position), one varint buffer for the whole
@@ -501,7 +510,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
         )
 
         cols = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
-                "doc_gaps", "tfs", "dls"] + (["positions"] if with_positions else [])
+                "doc_gaps", "tfs", "dls", "nbytes"] + (["positions"] if with_positions else [])
         cur_tid = None
         cur_seg = 0
         buf_d: list = []  # leftover decoded postings for cur_term
@@ -542,6 +551,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     out["doc_gaps"].append(bl.doc_gaps)
                     out["tfs"].append(bl.tfs)
                     out["dls"].append(bl.dls)
+                    out["nbytes"].append(len(bl.doc_gaps) + len(bl.tfs) + len(bl.dls))
                     if with_positions:
                         out["positions"].append(bl.positions)
             buf_d = [d[take:]] if take < len(d) else []
@@ -565,6 +575,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     pa.array(out["doc_gaps"], pa.binary()),
                     pa.array(out["tfs"], pa.binary()),
                     pa.array(out["dls"], pa.binary()),
+                    pa.array(out["nbytes"], pa.int32()),
                 ]
                 + ([pa.array(out["positions"], pa.binary())] if with_positions else []),
                 names=cols,
@@ -604,6 +615,7 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     out["doc_gaps"].append(gaps[i])
                     out["tfs"].append(tfs_b[i])
                     out["dls"].append(dls_b[i])
+                    out["nbytes"].append(len(gaps[i]) + len(tfs_b[i]) + len(dls_b[i]))
                     if with_positions:
                         out["positions"].append(pos_b[i])
                     continue

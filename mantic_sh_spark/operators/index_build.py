@@ -52,12 +52,15 @@ from .docs import build_docs, doc_stats
 
 # On-disk index format version — bump on any layout/schema change so
 # cached test/oracle indexes rebuild instead of failing on old columns
-# (v3: tid-keyed postings + stringless terms dir + partitioned tombstones)
-INDEX_FORMAT = 3
+# (v3: tid-keyed postings + stringless terms dir + partitioned tombstones;
+#  v4: per-block `nbytes` column — size maintenance aggregates int
+#  columns instead of scanning the binary payloads)
+INDEX_FORMAT = 4
 
 BLOCK_ROW_SCHEMA = (
     "tid long, segment_id int, first_doc long, last_doc long, "
-    "block_max double, n int, doc_gaps binary, tfs binary, dls binary"
+    "block_max double, n int, doc_gaps binary, tfs binary, dls binary, "
+    "nbytes int"
 )
 BLOCK_ROW_SCHEMA_POS = BLOCK_ROW_SCHEMA + ", positions binary"
 
@@ -312,10 +315,13 @@ def build_postings_for_segments(
     # `term_dictionary` sidecar (build_term_dictionary) that fuzzy
     # expansion and debugging build on demand.
     written = spark.read.parquet(paths.postings).filter(F.col("segment_id").isin(segs))
+    # sizes come from the stored per-block `nbytes` (format v4): the agg
+    # scan prunes to five int/double columns and never touches the
+    # binary payloads (measured 2.8 s of a 4.5 s job at sf0.1)
     terms = written.groupBy("segment_id", "tid").agg(
         F.sum("n").alias("df"),
         F.max("block_max").alias("max_tf_norm"),
-        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
+        F.sum("nbytes").cast("long").alias("bytes"),
     )
     terms.repartition("segment_id").sortWithinPartitions("tid").write.mode("append").partitionBy(
         "segment_id"

@@ -236,9 +236,7 @@ def merge_segments(
     committed = spark.read.parquet(staging)
     n_postings = committed.agg(F.sum("n")).collect()[0][0]
     n_terms = committed.select("tid").distinct().count()
-    nbytes = committed.agg(
-        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls")))
-    ).collect()[0][0]
+    nbytes = committed.agg(F.sum("nbytes")).collect()[0][0]
 
     # commit dst FIRST, then retire sources — the crash-safety order the
     # docstring promises (a crash in between leaves src+dst duplicates,
@@ -256,7 +254,7 @@ def merge_segments(
     terms = final.groupBy("tid").agg(
         F.sum("n").alias("df"),
         F.max("block_max").alias("max_tf_norm"),
-        (F.sum(F.length("doc_gaps")) + F.sum(F.length("tfs")) + F.sum(F.length("dls"))).alias("bytes"),
+        F.sum("nbytes").cast("long").alias("bytes"),
     )
     terms.coalesce(1).sortWithinPartitions("tid").write.mode("overwrite").parquet(
         f"{paths.terms}/segment_id={int(dst_segment)}"
