@@ -345,14 +345,11 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     be_p = enc.pop("p_end")
     tidx = grows[gi]
 
-    _bin_lens: list = []  # per-block byte length of each binary column
-
     def _bin(pair):
         # zero-copy binary column: blocks tile the value space, so the
         # Arrow offsets are offsets[bstarts] + one trailing end
         buf, offsets = pair
         nb = len(bs_p)
-        _bin_lens.append(offsets[be_p] - offsets[bs_p])
         end = int(offsets[be_p[-1]]) if nb else 0
         if end >= 2**31:  # int32 Arrow offsets would wrap silently
             raise OverflowError(
@@ -380,9 +377,13 @@ def encode_table(tbl, avgdl: float, k1: float, b: float, block_size: int = BLOCK
     # per-block compressed size (gaps+tfs+dls — positions excluded, as
     # in the terms-directory metric): stored so index maintenance can
     # aggregate sizes from a few int columns instead of scanning the
-    # binary payloads (measured 2.8 s of the 4.5 s terms job at sf0.1)
-    arrays.append(pa.array(
-        (_bin_lens[0] + _bin_lens[1] + _bin_lens[2]).astype(np.int32)))
+    # binary payloads (measured 2.8 s of the 4.5 s terms job at sf0.1).
+    # Block j owns postings [bs_p[j], be_p[j]), so its bytes in each
+    # column are offsets[be_p[j]] - offsets[bs_p[j]].
+    blk_bytes = sum(
+        enc[c][1][be_p] - enc[c][1][bs_p] for c in ("doc_gaps", "tfs", "dls")
+    )
+    arrays.append(pa.array(np.asarray(blk_bytes, dtype=np.int32)))
     names = ["tid", "segment_id", "first_doc", "last_doc", "block_max", "n",
              "doc_gaps", "tfs", "dls", "nbytes"]
     if with_positions:

@@ -185,6 +185,33 @@ def _trace(label: str, t0: float) -> float:
     return t1
 
 
+def write_format_marker(spark: SparkSession, paths: IndexPaths) -> None:
+    """Record the on-disk format version (one-row parquet)."""
+    spark.createDataFrame(
+        pd.DataFrame({"version": pd.array([INDEX_FORMAT], dtype="int32")})
+    ).coalesce(1).write.mode("overwrite").parquet(paths.format_marker)
+
+
+def check_format(spark: SparkSession, paths: IndexPaths) -> None:
+    """Refuse to MUTATE an index whose on-disk format differs from this
+    code's INDEX_FORMAT: appending new-format posting files next to
+    old-format ones would leave a mixed-schema dir where aggregations
+    either fail (column missing in the sampled footer) or silently
+    undercount (nulls under F.sum) depending on which footer Spark
+    samples (review r4 finding). Indexes predating the marker (≤ v3)
+    read as version 0. Queries on an old index still work where the
+    schema allows — only mutations are gated."""
+    marker = read_or_none(spark, paths.format_marker)
+    version = 0 if marker is None else int(marker.collect()[0].version)
+    if version != INDEX_FORMAT:
+        raise RuntimeError(
+            f"index at {paths.root} is on-disk format v{version}, this code "
+            f"writes v{INDEX_FORMAT} — mutating would mix posting schemas in "
+            "one directory; rebuild the index (or run the matching code "
+            "version) before extend/merge/resume"
+        )
+
+
 def _list_segments(spark: SparkSession, path: str) -> list[int]:
     """Enumerate segment_id=* partition dirs via the FileSystem API —
     pure metadata, no Spark job (Iceberg analog: partitions metadata
@@ -444,6 +471,7 @@ def build_index(
             spark.createDataFrame(
                 pd.DataFrame({"n_docs": [0], "avgdl": [0.0]}), "n_docs long, avgdl double"
             ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
+            write_format_marker(spark, paths)
             append_manifest(
                 spark,
                 paths,
@@ -480,12 +508,17 @@ def build_index(
             "n_docs long, avgdl double",
         ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
         _t = _trace("norms+collection_stats", _t)
+        write_format_marker(spark, paths)
         n_docs = srow.n_docs
         append_manifest(
             spark,
             paths,
             [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs, "started_at": t0}],
         )
+    else:
+        # resuming postings over an existing docs commit: the files we
+        # append must match the committed generation's schema
+        check_format(spark, paths)
 
     _t = _trace("docs-stage manifest", _t0)
     stats = spark.read.parquet(paths.collection_stats).collect()[0]

@@ -151,6 +151,9 @@ def merge_segments(
     source of truth for live segments (finalize step deletes sources).
     """
     paths = IndexPaths(index_dir)
+    from .index_build import check_format
+
+    check_format(spark, paths)  # never rewrite across format generations
     srcs = sorted(int(s) for s in src_segments)
     if dst_segment is None:
         dst_segment = srcs[0]

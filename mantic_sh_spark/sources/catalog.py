@@ -99,6 +99,13 @@ class IndexPaths:
         return os.path.join(self.root, "tier_index_meta")
 
     @property
+    def format_marker(self) -> str:
+        # one-row parquet recording the on-disk INDEX_FORMAT the index
+        # was built with — mutations (extend/merge/resume) check it and
+        # refuse to mix schema generations (index_build.check_format)
+        return os.path.join(self.root, "format_version")
+
+    @property
     def manifest(self) -> str:
         return os.path.join(self.root, "build_manifest")
 

@@ -46,8 +46,10 @@ def extend_index(
     segments into a positional index (which would corrupt phrase
     queries on the new segments)."""
     paths = IndexPaths(index_dir)
+    from ..operators.index_build import check_format
     from ..sources.catalog import read_or_none
 
+    check_format(spark, paths)  # never append across format generations
     existing_postings = read_or_none(spark, paths.postings)
     store_positions = existing_postings is not None and "positions" in existing_postings.columns
     # fresh ids must clear BOTH tables' segment dirs: docs dirs keep

@@ -197,3 +197,40 @@ def test_tiny_blocks_rank_identical(spark, tmp_path):
     assert [(r.query_id, r.doc_id, r.score) for r in rw] == [
         (r.query_id, r.doc_id, r.score) for r in rx
     ]
+
+
+def test_format_marker_gates_mutations(spark, tmp_path):
+    """Format generations never mix in one postings dir: a fresh build
+    records INDEX_FORMAT; extend/merge against a different (or absent —
+    pre-v4) recorded version refuse with a rebuild instruction instead
+    of appending mixed-schema files (review r4 finding). Queries on the
+    old index are NOT gated."""
+    import pandas as pd
+    import pytest
+
+    from mantic_sh_spark.operators.index_build import INDEX_FORMAT, build_index
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.operators.wand import wand_topk
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    cfg = SynthConfig(n_docs=80, vocab_size=100, seed=3)
+    pages = gen_pages(spark, cfg, partitions=1)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    paths = IndexPaths(idx)
+    marker = spark.read.parquet(paths.format_marker).collect()
+    assert len(marker) == 1 and marker[0].version == INDEX_FORMAT
+
+    # fake an older generation
+    spark.createDataFrame(
+        pd.DataFrame({"version": pd.array([1], dtype="int32")})
+    ).coalesce(1).write.mode("overwrite").parquet(paths.format_marker)
+
+    with pytest.raises(RuntimeError, match="format v1"):
+        extend_index(spark, idx, pages, n_new_segments=1)
+    with pytest.raises(RuntimeError, match="format v1"):
+        merge_segments(spark, idx, [0, 1], compact=True, purge=True)
+    # queries still answer
+    assert wand_topk(spark, idx, [(0, "w1x")], k=3).count() > 0
