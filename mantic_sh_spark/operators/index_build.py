@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from ..functions import codec
 from ..functions.codec import encode_stream_fn
 from ..functions.bm25 import B, K1
-from ..sources.catalog import IndexPaths, append_manifest, done_segments, read_or_none
+from ..sources.catalog import IndexPaths, append_manifest, done_segments, read_or_none, write_small_parquet
 from .docs import build_docs, doc_stats
 
 # On-disk index format version — bump on any layout/schema change so
@@ -186,10 +186,14 @@ def _trace(label: str, t0: float) -> float:
 
 
 def write_format_marker(spark: SparkSession, paths: IndexPaths) -> None:
-    """Record the on-disk format version (one-row parquet)."""
-    spark.createDataFrame(
-        pd.DataFrame({"version": pd.array([INDEX_FORMAT], dtype="int32")})
-    ).coalesce(1).write.mode("overwrite").parquet(paths.format_marker)
+    """Record the on-disk format version (one-row parquet, driver-side
+    commit — no Spark job)."""
+    write_small_parquet(
+        spark,
+        paths.format_marker,
+        pd.DataFrame({"version": pd.array([INDEX_FORMAT], dtype="int32")}),
+        "version int",
+    )
 
 
 def check_format(spark: SparkSession, paths: IndexPaths) -> None:
@@ -257,6 +261,7 @@ def build_postings_for_segments(
     block_size: int | None = None,
     store_positions: bool = False,
     chunk_size: int | None = None,
+    n_docs_by_seg: dict[int, int] | None = None,
 ) -> list[dict]:
     """Build + commit postings/terms for the given segments; return
     manifest metric rows (not yet appended). store_positions adds a
@@ -264,7 +269,11 @@ def build_postings_for_segments(
     proximity queries — operators/phrase.py). chunk_size must match the
     docs table's salt chunking (operators/docs.py) — segment and salt
     are pure functions of doc_id, so the wide shuffle never ships them
-    as columns."""
+    as columns.
+
+    n_docs_by_seg: per-segment live doc counts, if the caller already
+    knows them (build_index observes them during the norms write) —
+    skips the norms-agg job here. Missing/None → one tiny agg job."""
     from .docs import CHUNK_SIZE, SEG_STRIDE
 
     chunk = int(chunk_size or CHUNK_SIZE)
@@ -350,58 +359,79 @@ def build_postings_for_segments(
         F.max("block_max").alias("max_tf_norm"),
         F.sum("nbytes").cast("long").alias("bytes"),
     )
+    # per-segment manifest metrics ride the terms write as OBSERVED
+    # aggregates (CollectMetrics) — zero extra jobs in the serial tail.
+    # Conditional-sum fanout is 3 columns per segment, so cap it at 64
+    # segments per batch and fall back to the old one-pass agg job for
+    # wider batches (batch_segments bounds this in real builds).
+    from pyspark.sql import Observation
+
+    obs = None
+    if len(segs) <= 64:
+        obs = Observation()
+        exprs = []
+        for s in segs:
+            is_s = F.col("segment_id") == s
+            exprs += [
+                F.sum(F.when(is_s, F.col("df")).otherwise(F.lit(0))).alias(f"p{s}"),
+                F.sum(F.when(is_s, 1).otherwise(0)).alias(f"t{s}"),
+                F.sum(F.when(is_s, F.col("bytes")).otherwise(F.lit(0))).alias(f"b{s}"),
+            ]
+        terms = terms.observe(obs, *exprs)
     terms.repartition("segment_id").sortWithinPartitions("tid").write.mode("append").partitionBy(
         "segment_id"
     ).parquet(paths.terms)
     _t = _trace("terms dir", _t)
 
-    # two independent tiny agg jobs — submitted CONCURRENTLY so their
-    # fixed job-scheduling latency overlaps (part of the build's serial
-    # tail; the scheduler interleaves their stages across free cores)
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _metrics_rows():
-        return (
-            spark.read.parquet(paths.terms)
-            .filter(F.col("segment_id").isin(segs))
-            .groupBy("segment_id")
-            .agg(
-                F.sum("df").alias("n_postings"),
-                F.count(F.lit(1)).alias("n_terms"),
-                F.sum("bytes").alias("bytes"),
+    if obs is not None:
+        vals = obs.get
+        metrics = [
+            {"segment_id": s, "n_postings": int(vals[f"p{s}"] or 0),
+             "n_terms": int(vals[f"t{s}"] or 0), "bytes": int(vals[f"b{s}"] or 0)}
+            for s in segs
+        ]
+    else:
+        metrics = [
+            r.asDict()
+            for r in (
+                spark.read.parquet(paths.terms)
+                .filter(F.col("segment_id").isin(segs))
+                .groupBy("segment_id")
+                .agg(
+                    F.sum("df").alias("n_postings"),
+                    F.count(F.lit(1)).alias("n_terms"),
+                    F.sum("bytes").alias("bytes"),
+                )
+                .collect()
             )
-            .collect()
-        )
-
-    def _seg_counts():
-        return (
-            spark.read.parquet(paths.norms)
-            .filter(F.col("segment_id").isin(segs))
-            .groupBy("segment_id")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-
-    with ThreadPoolExecutor(2) as pool:
-        f_metrics, f_counts = pool.submit(_metrics_rows), pool.submit(_seg_counts)
-        metrics = f_metrics.result()
-        n_docs_by_seg = {r.segment_id: r.n for r in f_counts.result()}
+        ]
+    if n_docs_by_seg is None or any(s not in n_docs_by_seg for s in segs):
+        n_docs_by_seg = {
+            r.segment_id: r.n
+            for r in (
+                spark.read.parquet(paths.norms)
+                .filter(F.col("segment_id").isin(segs))
+                .groupBy("segment_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        }
     _t = _trace("metrics", _t)
     finished = time.time()
     return [
         {
-            "segment_id": r.segment_id,
+            "segment_id": m["segment_id"],
             "stage": "postings",
             "status": "done",
-            "n_docs": n_docs_by_seg.get(r.segment_id, 0),
-            "n_terms": r.n_terms,
-            "n_postings": r.n_postings,
-            "bytes": r.bytes,
+            "n_docs": n_docs_by_seg.get(m["segment_id"], 0),
+            "n_terms": m["n_terms"],
+            "n_postings": m["n_postings"],
+            "bytes": m["bytes"],
             "started_at": started,
             "finished_at": finished,
             "build_avgdl": float(avgdl),
         }
-        for r in metrics
+        for m in metrics
     ]
 
 
@@ -468,9 +498,12 @@ def build_index(
         if docs_read is None:  # empty corpus — a parquet write of 0 rows
             # leaves no readable files; commit an empty-but-valid index
 
-            spark.createDataFrame(
-                pd.DataFrame({"n_docs": [0], "avgdl": [0.0]}), "n_docs long, avgdl double"
-            ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
+            write_small_parquet(
+                spark,
+                paths.collection_stats,
+                pd.DataFrame({"n_docs": pd.array([0], dtype="int64"), "avgdl": [0.0]}),
+                "n_docs long, avgdl double",
+            )
             write_format_marker(spark, paths)
             append_manifest(
                 spark,
@@ -478,47 +511,75 @@ def build_index(
                 [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": 0, "started_at": t0}],
             )
             return paths
-        # norms write and the collection-stats agg both scan the (3-col
-        # pruned) docs table and are independent — run them as
-        # CONCURRENT jobs so their fixed scheduling+scan latency
-        # overlaps (docs-stage serial-tail trim)
-        from concurrent.futures import ThreadPoolExecutor
+        # collection stats AND per-segment doc counts ride the norms
+        # write as OBSERVED aggregates (CollectMetrics): ONE job scans
+        # the (3-col pruned) docs table, commits the norms sidecar, and
+        # yields n_docs / avgdl / per-seg counts as a side effect —
+        # replacing two more scheduled jobs in the docs-stage serial
+        # tail. NO repartition: the docs table is already
+        # hive-partitioned by segment_id (one dir per segment), so each
+        # scan task holds rows of exactly one segment — the
+        # dynamic-partition write lands them in place.
+        from pyspark.sql import Observation
 
-        def _norms_write():
-            # NO repartition: the docs table is already hive-partitioned
-            # by segment_id (one dir per segment), so each scan task
-            # holds rows of exactly one segment — the dynamic-partition
-            # write lands them in place and an exchange here would move
-            # the 3-col projection for an identical layout
-            doc_stats(docs_read).write.mode(
-                "overwrite"
-            ).partitionBy("segment_id").parquet(paths.norms)
-
-        def _stats_row():
-            return docs_read.agg(
-                F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
-            ).collect()[0]
-
-        with ThreadPoolExecutor(2) as pool:
-            f_norms, f_stats = pool.submit(_norms_write), pool.submit(_stats_row)
-            srow = f_stats.result()
-            f_norms.result()
-        spark.createDataFrame(
-            pd.DataFrame({"n_docs": [srow.n_docs], "avgdl": [float(srow.avgdl or 0.0)]}),
+        obs = Observation()
+        exprs = [F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")]
+        count_segs = n_segments <= 64  # conditional-sum fanout cap
+        if count_segs:
+            exprs += [
+                F.sum(F.when(F.col("segment_id") == s, 1).otherwise(0)).alias(f"c{s}")
+                for s in range(n_segments)
+            ]
+        doc_stats(docs_read).observe(obs, *exprs).write.mode(
+            "overwrite"
+        ).partitionBy("segment_id").parquet(paths.norms)
+        vals = obs.get
+        write_small_parquet(
+            spark,
+            paths.collection_stats,
+            pd.DataFrame({"n_docs": pd.array([vals["n_docs"]], dtype="int64"),
+                          "avgdl": [float(vals["avgdl"] or 0.0)]}),
             "n_docs long, avgdl double",
-        ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
+        )
         _t = _trace("norms+collection_stats", _t)
         write_format_marker(spark, paths)
-        n_docs = srow.n_docs
+        n_docs = vals["n_docs"]
+        # per-segment docs rows carry the counts forward so the
+        # postings stage (this run OR a resume) never re-aggregates
+        # norms; the -1 row stays the stage-completion marker
+        seg_rows = (
+            [
+                {"segment_id": s, "stage": "docs", "status": "done",
+                 "n_docs": int(vals[f"c{s}"] or 0), "started_at": t0}
+                for s in range(n_segments)
+            ]
+            if count_segs
+            else []
+        )
+        n_docs_by_seg = {r["segment_id"]: r["n_docs"] for r in seg_rows} or None
         append_manifest(
             spark,
             paths,
-            [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs, "started_at": t0}],
+            seg_rows
+            + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs, "started_at": t0}],
         )
     else:
         # resuming postings over an existing docs commit: the files we
         # append must match the committed generation's schema
         check_format(spark, paths)
+        # recover per-segment doc counts from the manifest's docs rows
+        # (absent on pre-r4 manifests → postings stage re-aggregates)
+        m = read_or_none(spark, paths.manifest)
+        seg_count_rows = (
+            []
+            if m is None
+            else m.filter(
+                (F.col("stage") == "docs") & (F.col("status") == "done") & (F.col("segment_id") >= 0)
+            )
+            .select("segment_id", "n_docs")
+            .collect()
+        )
+        n_docs_by_seg = {r.segment_id: r.n_docs for r in seg_count_rows} or None
 
     _t = _trace("docs-stage manifest", _t0)
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
@@ -551,7 +612,7 @@ def build_index(
     for seg_batch in batches:
         rows = build_postings_for_segments(
             spark, docs, paths, seg_batch, avgdl, k1, b, block_size, store_positions,
-            chunk_size=chunk_size,
+            chunk_size=chunk_size, n_docs_by_seg=n_docs_by_seg,
         )
         append_manifest(spark, paths, rows)
     from .wand import refresh_meta

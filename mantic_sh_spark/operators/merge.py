@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..functions.bm25 import B, K1
-from ..sources.catalog import IndexPaths, append_manifest, read_or_none
+from ..sources.catalog import IndexPaths, append_manifest, read_or_none, write_small_parquet
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
 
 
@@ -69,10 +69,13 @@ def _purge_docs_and_stats(spark, paths, purge_df, srcs) -> None:
     row = norms_all.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
     ).collect()[0]
-    spark.createDataFrame(
-        pd.DataFrame({"n_docs": [row.n_docs], "avgdl": [float(row.avgdl or 0.0)]}),
+    write_small_parquet(
+        spark,
+        paths.collection_stats,
+        pd.DataFrame({"n_docs": pd.array([row.n_docs], dtype="int64"),
+                      "avgdl": [float(row.avgdl or 0.0)]}),
         "n_docs long, avgdl double",
-    ).coalesce(1).write.mode("overwrite").parquet(paths.collection_stats)
+    )
     # satisfied tombstones = exactly the src segments' partitions plus
     # the orphan partition (-1): the tombstones table is hive-
     # partitioned by the postings-owning segment (delete.delete_docs_df,

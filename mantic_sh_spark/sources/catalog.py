@@ -140,6 +140,40 @@ def read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     return spark.read.parquet(path)
 
 
+def write_small_parquet(spark: SparkSession, path: str, pdf, spark_schema: str) -> None:
+    """Commit a TINY metadata table (collection stats, format marker)
+    as ONE driver-written parquet file — no Spark job. Real table
+    formats work this way (an Iceberg commit writes its manifests
+    driver-side); scheduling a cluster job to write one row costs more
+    in scheduler latency than the write itself, and those fixed seconds
+    are exactly the build's serial tail. The pandas frame must already
+    carry the exact dtypes the readers expect (int64/int32/float64 map
+    1:1 to the parquet types Spark would have written). Falls back to a
+    Spark write for filesystems pyarrow cannot reach."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        if "://" in path:
+            fsys, fspath = pafs.FileSystem.from_uri(path)
+        else:
+            fsys, fspath = pafs.LocalFileSystem(), path
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        info = fsys.get_file_info(fspath)
+        if info.type == pafs.FileType.Directory:
+            fsys.delete_dir(fspath)
+        elif info.type == pafs.FileType.File:
+            fsys.delete_file(fspath)
+        fsys.create_dir(fspath, recursive=True)
+        with fsys.open_output_stream(fspath.rstrip("/") + "/part-00000.parquet") as out:
+            pq.write_table(tbl, out)
+    except Exception:
+        spark.createDataFrame(pdf, spark_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
+
+
 def read_manifest(spark: SparkSession, paths: IndexPaths) -> DataFrame:
     df = tables_for(spark, paths.root).read("build_manifest")
     if df is None:

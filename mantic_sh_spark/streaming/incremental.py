@@ -75,37 +75,75 @@ def extend_index(
     all_docs = spark.read.parquet(paths.docs)
     # no repartition: docs are hive-partitioned by segment already, so
     # scan tasks are segment-aligned and the dynamic-partition append
-    # lands rows in place (same reasoning as the fresh-build norms write)
-    doc_stats(all_docs).filter(F.col("segment_id") >= seg_base).write.mode(
-        "append"
-    ).partitionBy("segment_id").parquet(paths.norms)
+    # lands rows in place (same reasoning as the fresh-build norms
+    # write). Per-new-segment doc counts ride the write as OBSERVED
+    # aggregates — they replace both the postings stage's norms agg and
+    # the distinct() that discovered non-empty segments (same
+    # serial-tail trim as the fresh build; conditional-sum cap 64).
+    from pyspark.sql import Observation
+
+    cand = list(range(seg_base, seg_base + n_new_segments))
+    obs = Observation() if n_new_segments <= 64 else None
+    norms_new = doc_stats(all_docs).filter(F.col("segment_id") >= seg_base)
+    if obs is not None:
+        norms_new = norms_new.observe(
+            obs,
+            *[
+                F.sum(F.when(F.col("segment_id") == s, 1).otherwise(0)).alias(f"c{s}")
+                for s in cand
+            ],
+        )
+    norms_new.write.mode("append").partitionBy("segment_id").parquet(paths.norms)
+    n_docs_by_seg = (
+        {s: int(obs.get[f"c{s}"] or 0) for s in cand} if obs is not None else None
+    )
     # recompute global stats over the norms table (cheap columnar agg)
     norms = spark.read.parquet(paths.norms)
     new_stats = norms.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
     row = new_stats.collect()[0]
     import pandas as pd
 
-    spark.createDataFrame(
-        pd.DataFrame({"n_docs": [row.n_docs], "avgdl": [row.avgdl]}),
+    from ..sources.catalog import write_small_parquet
+
+    write_small_parquet(
+        spark,
+        paths.collection_stats,
+        pd.DataFrame({"n_docs": pd.array([row.n_docs], dtype="int64"),
+                      "avgdl": [float(row.avgdl or 0.0)]}),
         "n_docs long, avgdl double",
-    ).coalesce(
-        1
-    ).write.mode("overwrite").parquet(paths.collection_stats)
+    )
 
     from ..functions.tokenize import tokens_col
 
     batch = all_docs.filter(F.col("segment_id") >= seg_base).withColumn("tokens", tokens_col("text"))
-    segs = [r.segment_id for r in batch.select("segment_id").distinct().collect()]
+    if n_docs_by_seg is not None:
+        segs = [s for s in cand if n_docs_by_seg[s] > 0]
+    else:
+        segs = [r.segment_id for r in batch.select("segment_id").distinct().collect()]
     rows = build_postings_for_segments(
-        spark, batch, paths, segs, avgdl=float(row.avgdl), store_positions=store_positions
+        spark, batch, paths, segs, avgdl=float(row.avgdl), store_positions=store_positions,
+        n_docs_by_seg=n_docs_by_seg,
     )
     for r in rows:
         r["started_at"] = t0
-    append_manifest(spark, paths, rows)
+    seg_doc_rows = (
+        [
+            {"segment_id": s, "stage": "docs", "status": "done",
+             "n_docs": n_docs_by_seg[s], "started_at": t0}
+            for s in segs
+        ]
+        if n_docs_by_seg is not None
+        else []
+    )
+    # ONE manifest append for postings rows + per-segment docs rows +
+    # the docs completion marker (each append is a commit — batching
+    # them is both cheaper and atomic for this extend)
     append_manifest(
         spark,
         paths,
-        [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": row.n_docs, "started_at": t0}],
+        rows
+        + seg_doc_rows
+        + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": row.n_docs, "started_at": t0}],
     )
     from ..operators.index_build import _delete_path
     from ..operators.wand import refresh_meta
