@@ -273,7 +273,38 @@ def build_postings_for_segments(
 
     n_docs_by_seg: per-segment live doc counts, if the caller already
     knows them (build_index observes them during the norms write) —
-    skips the norms-agg job here. Missing/None → one tiny agg job."""
+    skips the norms-agg job here. Missing/None → one tiny agg job.
+
+    Split into two halves so multi-batch builds can PIPELINE: the wide
+    shuffle + postings write (_encode_and_write_postings) runs on the
+    caller's thread, while the terms-directory commit + metrics
+    (_commit_terms_and_metrics) for the PREVIOUS batch overlaps it from
+    a single commit worker (build_index). The two halves touch
+    different table roots, so the concurrent writes never share an
+    output-committer staging dir."""
+    segs = _encode_and_write_postings(
+        spark, docs, paths, segments, avgdl, k1, b, block_size, store_positions, chunk_size
+    )
+    if not segs:
+        return []
+    started = time.time()
+    return _commit_terms_and_metrics(spark, paths, segs, avgdl, started, n_docs_by_seg)
+
+
+def _encode_and_write_postings(
+    spark: SparkSession,
+    docs: DataFrame,
+    paths: IndexPaths,
+    segments: Iterable[int],
+    avgdl: float,
+    k1: float = K1,
+    b: float = B,
+    block_size: int | None = None,
+    store_positions: bool = False,
+    chunk_size: int | None = None,
+) -> list[int]:
+    """First half: the salted wide shuffle → vectorized encode →
+    postings commit. Returns the segment ids actually built."""
     from .docs import CHUNK_SIZE, SEG_STRIDE
 
     chunk = int(chunk_size or CHUNK_SIZE)
@@ -339,7 +370,24 @@ def build_postings_for_segments(
         .partitionBy("segment_id")
         .parquet(paths.postings)
     )
-    _t = _trace("postings encode+write", started)
+    _trace("postings encode+write", started)
+    return segs
+
+
+def _commit_terms_and_metrics(
+    spark: SparkSession,
+    paths: IndexPaths,
+    segs: list[int],
+    avgdl: float,
+    started: float,
+    n_docs_by_seg: dict[int, int] | None = None,
+) -> list[dict]:
+    """Second half: terms-directory commit over the committed postings
+    + manifest metric rows. Reads/writes only paths.postings (read) and
+    paths.terms (append) — safe to overlap with the NEXT batch's
+    postings write from a single commit worker (different roots, so no
+    shared FileOutputCommitter staging)."""
+    _t = time.time()
     # Term directory: per-(segment, tid) df + score upper bound +
     # compressed size. ONE Catalyst agg pass over the committed blocks
     # (re-read → lineage cut). NO term strings here: clients resolve
@@ -609,12 +657,48 @@ def build_index(
     batches = [pending[i : i + bs] for i in range(0, len(pending), bs)]
     if max_batches is not None:
         batches = batches[:max_batches]
-    for seg_batch in batches:
+    if len(batches) == 1:
         rows = build_postings_for_segments(
-            spark, docs, paths, seg_batch, avgdl, k1, b, block_size, store_positions,
+            spark, docs, paths, batches[0], avgdl, k1, b, block_size, store_positions,
             chunk_size=chunk_size, n_docs_by_seg=n_docs_by_seg,
         )
         append_manifest(spark, paths, rows)
+    else:
+        # PIPELINED batches: batch i's terms-directory commit + manifest
+        # append run on ONE commit worker while batch i+1's wide shuffle
+        # runs on this thread — the serial metadata tail overlaps the
+        # next batch's data stage instead of adding to the critical
+        # path. Safety: postings writes never overlap each other (the
+        # handoff happens after each write completes); the single worker
+        # serializes terms writes AND manifest appends; the only
+        # concurrent writes (postings i+1 vs terms i) target different
+        # table roots, so they never share a committer staging dir.
+        # Crash between a batch's postings commit and its manifest row
+        # leaves an uncommitted segment that _cleanup_uncommitted
+        # deletes on resume — the same contract as a crash mid-batch.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _commit_one(segs_built: list[int], t_start: float) -> None:
+            rows = _commit_terms_and_metrics(
+                spark, paths, segs_built, avgdl, t_start, n_docs_by_seg
+            )
+            append_manifest(spark, paths, rows)
+
+        with ThreadPoolExecutor(1) as commit_pool:
+            futures = []
+            for seg_batch in batches:
+                for f in futures:
+                    if f.done():
+                        f.result()  # fail fast if an earlier commit died
+                t_start = time.time()
+                segs_built = _encode_and_write_postings(
+                    spark, docs, paths, seg_batch, avgdl, k1, b, block_size,
+                    store_positions, chunk_size,
+                )
+                if segs_built:
+                    futures.append(commit_pool.submit(_commit_one, segs_built, t_start))
+            for f in futures:
+                f.result()
     from .wand import refresh_meta
 
     refresh_meta(index_dir)

@@ -102,6 +102,38 @@ def test_resume_produces_identical_index(spark, small_corpus, tmp_path):
     assert all(r["count"] == 1 for r in per_seg)
 
 
+def test_pipelined_batches_match_single_batch(spark, small_corpus, tmp_path):
+    """A from-scratch multi-batch build takes the PIPELINED path (batch
+    i's terms/manifest commit overlaps batch i+1's shuffle on one
+    commit worker) — its postings, terms directory, and manifest
+    metrics must be value-identical to the single-batch build."""
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=4)
+
+    one = str(tmp_path / "one")
+    build_index(spark, pages, one, n_segments=4)
+    piped = str(tmp_path / "piped")
+    build_index(spark, pages, piped, n_segments=4, batch_segments=1)
+
+    for tbl, cols in (
+        ("postings", ["segment_id", "tid", "first_doc", "last_doc", "n",
+                      "doc_gaps", "tfs", "dls", "nbytes"]),
+        ("terms", ["segment_id", "tid", "df", "max_tf_norm", "bytes"]),
+    ):
+        a = spark.read.parquet(f"{one}/{tbl}").select(cols)
+        b = spark.read.parquet(f"{piped}/{tbl}").select(cols)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, tbl
+
+    def _metrics(d):
+        m = spark.read.parquet(f"{d}/build_manifest")
+        return {
+            r.segment_id: (r.n_docs, r.n_terms, r.n_postings, r.bytes)
+            for r in m.filter(F.col("stage") == "postings").collect()
+        }
+
+    assert _metrics(one) == _metrics(piped)
+
+
 def test_needle_query_hits_exactly_one_doc(spark, small_corpus):
     idx = small_corpus["index_dir"]
     res = wand_topk(spark, idx, [(0, "zzneedle97")], k=10).collect()
