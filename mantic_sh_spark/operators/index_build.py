@@ -185,6 +185,24 @@ def _trace(label: str, t0: float) -> float:
     return t1
 
 
+# Conditional-sum fanout cap for observed per-segment aggregates: above
+# this many segments in one batch/stage the observation is skipped and
+# the old one-pass agg jobs run instead (3 observed columns per segment
+# in the terms commit; 1 in the norms writes). Tests lower it to force
+# the fallback branches.
+_OBS_SEG_CAP = 64
+
+
+def segment_count_exprs(segs: Iterable[int]) -> list:
+    """Observed per-segment row-count aggregates (one conditional sum
+    per segment) — shared by the norms writes in build_index and
+    extend_index so the count shape can never drift between them."""
+    return [
+        F.sum(F.when(F.col("segment_id") == s, 1).otherwise(0)).alias(f"c{s}")
+        for s in segs
+    ]
+
+
 def write_format_marker(spark: SparkSession, paths: IndexPaths) -> None:
     """Record the on-disk format version (one-row parquet, driver-side
     commit — no Spark job)."""
@@ -282,12 +300,12 @@ def build_postings_for_segments(
     a single commit worker (build_index). The two halves touch
     different table roots, so the concurrent writes never share an
     output-committer staging dir."""
+    started = time.time()  # manifest started_at spans the WHOLE batch
     segs = _encode_and_write_postings(
         spark, docs, paths, segments, avgdl, k1, b, block_size, store_positions, chunk_size
     )
     if not segs:
         return []
-    started = time.time()
     return _commit_terms_and_metrics(spark, paths, segs, avgdl, started, n_docs_by_seg)
 
 
@@ -304,7 +322,10 @@ def _encode_and_write_postings(
     chunk_size: int | None = None,
 ) -> list[int]:
     """First half: the salted wide shuffle → vectorized encode →
-    postings commit. Returns the segment ids actually built."""
+    postings commit. Returns the requested segment ids (sorted,
+    deduped) — a segment whose docs produce zero postings still counts
+    as processed (the commit half marks it done with zero metrics so it
+    is never endlessly re-cleaned on resume)."""
     from .docs import CHUNK_SIZE, SEG_STRIDE
 
     chunk = int(chunk_size or CHUNK_SIZE)
@@ -409,13 +430,20 @@ def _commit_terms_and_metrics(
     )
     # per-segment manifest metrics ride the terms write as OBSERVED
     # aggregates (CollectMetrics) — zero extra jobs in the serial tail.
-    # Conditional-sum fanout is 3 columns per segment, so cap it at 64
-    # segments per batch and fall back to the old one-pass agg job for
-    # wider batches (batch_segments bounds this in real builds).
+    # Conditional-sum fanout is 3 columns per segment, so cap it at
+    # _OBS_SEG_CAP segments per batch and fall back to the old one-pass
+    # agg job for wider batches (batch_segments bounds this in real
+    # builds). The observe is attached AFTER the repartition exchange
+    # so CollectMetrics executes in the RESULT (write) stage, where
+    # Spark dedupes accumulator updates across task retries and
+    # speculation — placed before the exchange it would sit in a
+    # shuffle-map stage, and a fetch-failure stage retry on a real
+    # cluster could double-count the metrics (review r4 finding).
     from pyspark.sql import Observation
 
     obs = None
-    if len(segs) <= 64:
+    shaped = terms.repartition("segment_id")
+    if len(segs) <= _OBS_SEG_CAP:
         obs = Observation()
         exprs = []
         for s in segs:
@@ -425,8 +453,8 @@ def _commit_terms_and_metrics(
                 F.sum(F.when(is_s, 1).otherwise(0)).alias(f"t{s}"),
                 F.sum(F.when(is_s, F.col("bytes")).otherwise(F.lit(0))).alias(f"b{s}"),
             ]
-        terms = terms.observe(obs, *exprs)
-    terms.repartition("segment_id").sortWithinPartitions("tid").write.mode("append").partitionBy(
+        shaped = shaped.observe(obs, *exprs)
+    shaped.sortWithinPartitions("tid").write.mode("append").partitionBy(
         "segment_id"
     ).parquet(paths.terms)
     _t = _trace("terms dir", _t)
@@ -439,8 +467,8 @@ def _commit_terms_and_metrics(
             for s in segs
         ]
     else:
-        metrics = [
-            r.asDict()
+        got = {
+            r.segment_id: r.asDict()
             for r in (
                 spark.read.parquet(paths.terms)
                 .filter(F.col("segment_id").isin(segs))
@@ -452,6 +480,13 @@ def _commit_terms_and_metrics(
                 )
                 .collect()
             )
+        }
+        # zero-fill segments that produced no postings so BOTH paths
+        # mark every requested segment done (a zero-posting segment
+        # must not be re-cleaned and rebuilt on every resume)
+        metrics = [
+            got.get(s, {"segment_id": s, "n_postings": 0, "n_terms": 0, "bytes": 0})
+            for s in segs
         ]
     if n_docs_by_seg is None or any(s not in n_docs_by_seg for s in segs):
         n_docs_by_seg = {
@@ -572,12 +607,9 @@ def build_index(
 
         obs = Observation()
         exprs = [F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")]
-        count_segs = n_segments <= 64  # conditional-sum fanout cap
+        count_segs = n_segments <= _OBS_SEG_CAP
         if count_segs:
-            exprs += [
-                F.sum(F.when(F.col("segment_id") == s, 1).otherwise(0)).alias(f"c{s}")
-                for s in range(n_segments)
-            ]
+            exprs += segment_count_exprs(range(n_segments))
         doc_stats(docs_read).observe(obs, *exprs).write.mode(
             "overwrite"
         ).partitionBy("segment_id").parquet(paths.norms)

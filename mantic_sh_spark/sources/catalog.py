@@ -149,29 +149,36 @@ def write_small_parquet(spark: SparkSession, path: str, pdf, spark_schema: str) 
     are exactly the build's serial tail. The pandas frame must already
     carry the exact dtypes the readers expect (int64/int32/float64 map
     1:1 to the parquet types Spark would have written). Falls back to a
-    Spark write for filesystems pyarrow cannot reach."""
-    try:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        from pyarrow import fs as pafs
+    Spark write for filesystems pyarrow cannot reach. The fallback is
+    DELIBERATELY narrow — filesystem/scheme reach only, not a blanket
+    except: a bug in this path (bad dtype, API drift) must raise, not
+    silently re-pay the scheduled-job tail forever (review r4
+    finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
 
+    try:
         if "://" in path:
             fsys, fspath = pafs.FileSystem.from_uri(path)
         else:
             fsys, fspath = pafs.LocalFileSystem(), path
-        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-        info = fsys.get_file_info(fspath)
-        if info.type == pafs.FileType.Directory:
-            fsys.delete_dir(fspath)
-        elif info.type == pafs.FileType.File:
-            fsys.delete_file(fspath)
-        fsys.create_dir(fspath, recursive=True)
-        with fsys.open_output_stream(fspath.rstrip("/") + "/part-00000.parquet") as out:
-            pq.write_table(tbl, out)
-    except Exception:
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, OSError, ValueError):
+        # scheme pyarrow can't resolve (e.g. a cluster-only hdfs://
+        # without libhdfs) — the one case the Spark write exists for
         spark.createDataFrame(pdf, spark_schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(path)
+        return
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    info = fsys.get_file_info(fspath)
+    if info.type == pafs.FileType.Directory:
+        fsys.delete_dir(fspath)
+    elif info.type == pafs.FileType.File:
+        fsys.delete_file(fspath)
+    fsys.create_dir(fspath, recursive=True)
+    with fsys.open_output_stream(fspath.rstrip("/") + "/part-00000.parquet") as out:
+        pq.write_table(tbl, out)
 
 
 def read_manifest(spark: SparkSession, paths: IndexPaths) -> DataFrame:

@@ -82,21 +82,19 @@ def extend_index(
     # serial-tail trim as the fresh build; conditional-sum cap 64).
     from pyspark.sql import Observation
 
+    from ..operators.index_build import _OBS_SEG_CAP, segment_count_exprs
+
     cand = list(range(seg_base, seg_base + n_new_segments))
-    obs = Observation() if n_new_segments <= 64 else None
+    obs = Observation() if n_new_segments <= _OBS_SEG_CAP else None
     norms_new = doc_stats(all_docs).filter(F.col("segment_id") >= seg_base)
     if obs is not None:
-        norms_new = norms_new.observe(
-            obs,
-            *[
-                F.sum(F.when(F.col("segment_id") == s, 1).otherwise(0)).alias(f"c{s}")
-                for s in cand
-            ],
-        )
+        norms_new = norms_new.observe(obs, *segment_count_exprs(cand))
     norms_new.write.mode("append").partitionBy("segment_id").parquet(paths.norms)
-    n_docs_by_seg = (
-        {s: int(obs.get[f"c{s}"] or 0) for s in cand} if obs is not None else None
-    )
+    if obs is not None:
+        vals = obs.get  # one JVM round trip, not one per segment
+        n_docs_by_seg = {s: int(vals[f"c{s}"] or 0) for s in cand}
+    else:
+        n_docs_by_seg = None
     # recompute global stats over the norms table (cheap columnar agg)
     norms = spark.read.parquet(paths.norms)
     new_stats = norms.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))

@@ -134,6 +134,71 @@ def test_pipelined_batches_match_single_batch(spark, small_corpus, tmp_path):
     assert _metrics(one) == _metrics(piped)
 
 
+def test_fallback_paths_match_observed(spark, small_corpus, tmp_path, monkeypatch):
+    """Forcing _OBS_SEG_CAP=0 routes every observed-aggregate site
+    through its fallback job (terms metrics agg, norms count agg, no
+    per-segment docs manifest rows) — the resulting index AND manifest
+    metrics must match the observation path exactly."""
+    import mantic_sh_spark.operators.index_build as ib
+
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=4)
+
+    obs_dir = str(tmp_path / "obs")
+    build_index(spark, pages, obs_dir, n_segments=4)
+    monkeypatch.setattr(ib, "_OBS_SEG_CAP", 0)
+    fb_dir = str(tmp_path / "fb")
+    build_index(spark, pages, fb_dir, n_segments=4)
+
+    def _postings_rows(d):
+        m = spark.read.parquet(f"{d}/build_manifest")
+        return {
+            r.segment_id: (r.n_docs, r.n_terms, r.n_postings, r.bytes)
+            for r in m.filter(F.col("stage") == "postings").collect()
+        }
+
+    assert _postings_rows(obs_dir) == _postings_rows(fb_dir)
+    sa = spark.read.parquet(f"{obs_dir}/collection_stats").collect()[0]
+    sb = spark.read.parquet(f"{fb_dir}/collection_stats").collect()[0]
+    assert (sa.n_docs, sa.avgdl) == (sb.n_docs, sb.avgdl)
+    a = spark.read.parquet(f"{obs_dir}/terms").select("segment_id", "tid", "df", "bytes")
+    b = spark.read.parquet(f"{fb_dir}/terms").select("segment_id", "tid", "df", "bytes")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_crash_between_postings_and_manifest_resumes_clean(spark, small_corpus, tmp_path):
+    """The pipelined crash window: a batch's postings commit lands but
+    the process dies before its manifest row. Resume must clean the
+    uncommitted segment and rebuild to a state identical to a clean
+    one-shot build (no duplicate postings)."""
+    from mantic_sh_spark.functions.tokenize import tokens_col
+    from mantic_sh_spark.operators.index_build import _encode_and_write_postings
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=4)
+
+    clean = str(tmp_path / "clean")
+    build_index(spark, pages, clean, n_segments=4)
+
+    crash = str(tmp_path / "crash")
+    # docs stage only (zero postings batches), then a postings commit
+    # with NO manifest row — the mid-pipeline crash state
+    build_index(spark, pages, crash, n_segments=4, batch_segments=1, max_batches=0)
+    docs = spark.read.parquet(f"{crash}/docs").withColumn("tokens", tokens_col("text"))
+    stats = spark.read.parquet(f"{crash}/collection_stats").collect()[0]
+    _encode_and_write_postings(spark, docs, IndexPaths(crash), [0], float(stats.avgdl))
+    assert spark.read.parquet(f"{crash}/postings").count() > 0
+
+    build_index(spark, pages, crash, n_segments=4, batch_segments=1)
+
+    cols = ["segment_id", "tid", "first_doc", "last_doc", "n", "doc_gaps", "tfs", "dls"]
+    a = spark.read.parquet(f"{clean}/postings").select(cols)
+    b = spark.read.parquet(f"{crash}/postings").select(cols)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
 def test_needle_query_hits_exactly_one_doc(spark, small_corpus):
     idx = small_corpus["index_dir"]
     res = wand_topk(spark, idx, [(0, "zzneedle97")], k=10).collect()
