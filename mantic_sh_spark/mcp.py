@@ -14,6 +14,17 @@ messages, the MCP stdio transport) exposing
     probes over positional postings — the pattern-match analog of the
     reference's tree-sitter walk, src/code-intel.ts:154-332)
   * index_stats     — corpus + read-amplification counters
+  * analyze_intent  — query intent class + keywords + typed entities
+                      (the reference's analyze_intent,
+                      src/mcp-server.ts:187-202 → functions/intent.py)
+  * session_start / session_list / session_info / session_end /
+    session_record_view — agent-session context carryover (reference
+    src/mcp-server.ts:204-313): parquet sidecar sessions
+    (mantic_sh_spark/sessions.py), viewed docs deterministically
+    boosted in that session's later searches (pass sessionId to
+    search_files)
+  * get_context     — zero-query working-context summary (reference
+                      src/mcp-server.ts:315-332)
 
 backed by ONE long-lived `serve.IndexReader` — no per-query process
 spawn and no Spark job on the query path (the reference shells out via
@@ -24,7 +35,7 @@ latency win over the reference's published numbers comes from).
 Protocol subset implemented (enough for any MCP client to drive it):
   initialize → capabilities/serverInfo handshake
   notifications/initialized → acknowledged silently
-  tools/list → the four tool schemas
+  tools/list → the eleven tool schemas
   tools/call → dispatch, result as MCP text content
   ping → {}
 Unknown methods get a JSON-RPC -32601; malformed requests never kill
@@ -114,6 +125,111 @@ TOOLS = [
                          "description": "target another committed index (LRU pool)"},
         }},
     },
+    {
+        "name": "analyze_intent",
+        "description": (
+            "Classify a natural-language query: intent kind (phrase / "
+            "field / fuzzy / terms), extracted keywords, typed entities "
+            "(url/email/version/number/identifier), and the engine the "
+            "auto-router would pick."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "query": {"type": "string", "description": "query to analyze"},
+            },
+            "required": ["query"],
+        },
+    },
+    {
+        "name": "session_start",
+        "description": (
+            "Start an agent session for context carryover: queries and "
+            "viewed docs are recorded, and viewed docs are boosted in "
+            "this session's later searches (pass sessionId to "
+            "search_files)."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "name": {"type": "string", "description": "session name (auto if absent)"},
+                "intent": {"type": "string", "description": "session goal"},
+                "indexDir": {"type": "string"},
+            },
+        },
+    },
+    {
+        "name": "session_list",
+        "description": "List sessions of this index with query/view counts.",
+        "inputSchema": {"type": "object", "properties": {
+            "indexDir": {"type": "string"},
+        }},
+    },
+    {
+        "name": "session_info",
+        "description": "Full session detail: metadata, query history, viewed docs.",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "sessionId": {"type": "string"},
+                "indexDir": {"type": "string"},
+            },
+            "required": ["sessionId"],
+        },
+    },
+    {
+        "name": "session_end",
+        "description": "End a session (its recorded history stays on disk, Spark-scannable).",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "sessionId": {"type": "string"},
+                "indexDir": {"type": "string"},
+            },
+            "required": ["sessionId"],
+        },
+    },
+    {
+        "name": "session_record_view",
+        "description": (
+            "Record docs viewed/modified during a session — these get a "
+            "deterministic additive boost (+0.1 per view, capped) in the "
+            "session's subsequent searches."
+        ),
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "sessionId": {"type": "string"},
+                "views": {
+                    "type": "array",
+                    "items": {
+                        "type": "object",
+                        "properties": {
+                            "doc_id": {"type": "integer"},
+                            "url": {"type": "string"},
+                            "viewed": {"type": "boolean", "default": True},
+                            "modified": {"type": "boolean", "default": False},
+                        },
+                    },
+                    "description": "docs viewed or modified",
+                },
+                "indexDir": {"type": "string"},
+            },
+            "required": ["sessionId", "views"],
+        },
+    },
+    {
+        "name": "get_context",
+        "description": (
+            "Zero-query working-context summary: recent queries, "
+            "most-returned docs, viewed/modified docs, and suggested "
+            "follow-up terms (one session, or all sessions of the index)."
+        ),
+        "inputSchema": {"type": "object", "properties": {
+            "sessionId": {"type": "string"},
+            "indexDir": {"type": "string"},
+        }},
+    },
 ]
 
 
@@ -128,7 +244,9 @@ class McpServer:
     newline-delimited stdio."""
 
     _TOOL_NAMES = frozenset(
-        ("search_files", "find_references", "get_definition", "index_stats"))
+        ("search_files", "find_references", "get_definition", "index_stats",
+         "analyze_intent", "session_start", "session_list", "session_info",
+         "session_end", "session_record_view", "get_context"))
 
     def __init__(self, index_dir: str, reader: IndexReader | None = None,
                  max_readers: int = 8):
@@ -138,6 +256,7 @@ class McpServer:
         self._default_key = ReaderPool._key(index_dir)
         self.reader = reader if reader is not None else self.pool.get(index_dir)
         self.n_calls = 0
+        self._stores: dict[str, "object"] = {}
 
     def _reader_for(self, args: dict) -> IndexReader:
         from .serve import ReaderPool
@@ -149,6 +268,18 @@ class McpServer:
             # a duplicate reader (injected reader / LRU eviction cases)
             return self.reader
         return self.pool.get(idx)
+
+    def _store_for(self, reader: IndexReader) -> "object":
+        """SessionStore keyed by the reader's index root (sessions are
+        sidecars OF an index, so an indexDir-targeted call gets that
+        index's sessions)."""
+        from .sessions import SessionStore
+
+        root = str(reader.paths.root)
+        store = self._stores.get(root)
+        if store is None:
+            store = self._stores[root] = SessionStore(root)
+        return store
 
     # ------------------------------------------------------------ rpc
     def handle(self, req: dict) -> dict | None:
@@ -196,21 +327,62 @@ class McpServer:
         if name == "search_files":
             t0 = time.time()
             budget = args.get("budgetMs")
-            results = reader.search(
-                args["query"],
-                k=int(args.get("maxResults", 10)),
+            kw = dict(
                 with_urls=True,
                 phrase=bool(args.get("phrase", False)),
                 slop=int(args.get("slop", 0)),
                 budget_ms=float(budget) if budget is not None else None,
                 with_snippets=bool(args.get("snippets", True)),
             )
+            k = int(args.get("maxResults", 10))
+            sid = args.get("sessionId")
+            if sid:
+                from .sessions import boosted_search
+
+                store = self._store_for(reader)
+                results = boosted_search(reader, store, sid, args["query"], k=k, **kw)
+                store.record_query(sid, args["query"], k, results,
+                                   (time.time() - t0) * 1e3)
+            else:
+                results = reader.search(args["query"], k=k, **kw)
             payload = {
                 "results": results,
                 "ms": round((time.time() - t0) * 1e3, 2),
             }
             if reader.truncated:
                 payload["truncated"] = True
+            return {
+                "content": [{"type": "text", "text": json.dumps(payload)}],
+                "isError": False,
+            }
+        if name == "analyze_intent":
+            from dataclasses import asdict
+
+            from .functions.intent import parse_query
+
+            plan = asdict(parse_query(args["query"]))
+            plan["engine"] = {"phrase": "phrase", "field": "bm25f",
+                              "fuzzy": "fuzzy", "terms": "wand"}[plan["kind"]]
+            return {
+                "content": [{"type": "text", "text": json.dumps(plan)}],
+                "isError": False,
+            }
+        if name in ("session_start", "session_list", "session_info",
+                    "session_end", "session_record_view", "get_context"):
+            store = self._store_for(reader)
+            if name == "session_start":
+                payload = store.start(args.get("name"), args.get("intent"))
+            elif name == "session_list":
+                payload = {"sessions": store.list()}
+            elif name == "session_info":
+                payload = store.info(args["sessionId"])
+            elif name == "session_end":
+                payload = store.end(args["sessionId"])
+            elif name == "session_record_view":
+                n = store.record_views(args["sessionId"], args.get("views") or [])
+                payload = {"recorded": n}
+            else:  # get_context
+                payload = store.context(args.get("sessionId"))
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],
                 "isError": False,
