@@ -73,6 +73,9 @@ TOOLS = [
                              "description": "include a context window around the first hit"},
                 "budgetMs": {"type": "number",
                              "description": "soft deadline; partial results are flagged"},
+                "sessionId": {"type": "string",
+                              "description": "record this query in the session and apply "
+                                             "its view boost (see session_start)"},
                 "indexDir": {"type": "string",
                              "description": "target another committed index (LRU pool)"},
             },
@@ -340,6 +343,7 @@ class McpServer:
                 from .sessions import boosted_search
 
                 store = self._store_for(reader)
+                store.check(sid)  # validate before paying for the search
                 results = boosted_search(reader, store, sid, args["query"], k=k, **kw)
                 store.record_query(sid, args["query"], k, results,
                                    (time.time() - t0) * 1e3)

@@ -69,15 +69,37 @@ def test_session_lifecycle_and_boost(spark, small_corpus):
     assert any(v["doc_id"] == victim["doc_id"] for v in ctx["viewed"])
     assert "w1x" not in ctx["suggested_terms"] and "w5x" not in ctx["suggested_terms"]
 
-    # unknown session and path-escaping ids are rejected cleanly
-    resp = srv.handle({"jsonrpc": "2.0", "id": 9, "method": "tools/call",
-                       "params": {"name": "session_info",
-                                  "arguments": {"sessionId": "no-such"}}})
-    assert resp["result"]["isError"] is True
+    # unknown session and path-escaping ids are rejected cleanly —
+    # on info, on context (a typo must not read as an empty session),
+    # and on search_files BEFORE the query runs
+    for tool, extra in (("session_info", {}), ("get_context", {}),
+                        ("search_files", {"query": q})):
+        resp = srv.handle({"jsonrpc": "2.0", "id": 9, "method": "tools/call",
+                           "params": {"name": tool,
+                                      "arguments": {"sessionId": "no-such", **extra}}})
+        assert resp["result"]["isError"] is True, tool
     resp = srv.handle({"jsonrpc": "2.0", "id": 10, "method": "tools/call",
                        "params": {"name": "session_info",
                                   "arguments": {"sessionId": "../escape"}}})
     assert resp["result"]["isError"] is True
+
+    # every result row has the same shape (boosted-in rows included)
+    shapes = {tuple(sorted(r)) for r in boosted}
+    assert len(shapes) <= 2  # 'boosted' key is the only divergence
+    assert all("url" in r and "snippet" in r for r in boosted)
+
+    # log sidecar types match serve.QueryLog exactly (union-safe)
+    import pyarrow.parquet as pq
+    from mantic_sh_spark.sessions import SessionStore
+
+    store = SessionStore(idx)
+    d = store._dir(sid)
+    import os
+    log_file = next(os.path.join(d, f) for f in sorted(os.listdir(d))
+                    if f.startswith("log-"))
+    sch = pq.read_schema(log_file)
+    assert str(sch.field("k").type) == "int32"
+    assert str(sch.field("n_results").type) == "int32"
 
 
 def test_boost_never_resurrects_deleted_doc(spark, tmp_path):
