@@ -162,6 +162,7 @@ class IndexReader:
         self._pos_lru.clear()
         self._df_cache.clear()
         self._dead_cache.clear()
+        self._dead_union_cache = None  # global-kernel liveness input
         # counters restart with the new index state (counters() promises
         # totals "since construction/refresh"); the epoch bump
         # invalidates every thread's thread-local last_stats
@@ -379,28 +380,83 @@ class IndexReader:
             self._record_stats(stats, t0)
             return []
         blocks = self._blocks(sorted(idf_map), stats=stats)
-        per_seg: dict[int, dict[str, object]] = {}
-        for t, pdf in blocks.items():
-            if not len(pdf):
-                continue
-            for seg, g in pdf.groupby("segment_id"):
-                per_seg.setdefault(int(seg), {})[t] = g
-        hits: list[tuple[int, float]] = []
         qterms = sorted(idf_map)
-        for i, (seg, by_term) in enumerate(sorted(per_seg.items())):
-            if budget_ms is not None and i > 0 and (time.time() - t0) * 1e3 > budget_ms:
-                self.truncated = True
-                break
-            stats["segments_touched"] += 1
-            hits.extend(
-                segment_topk(by_term, qterms, idf_map, self.avgdl, k,
-                             self.k1, self.b,
-                             bound_factor=self.bound_factors.get(seg, 1.0),
-                             dead=self._dead(seg), stats=stats)
-            )
+        hits: list[tuple[int, float]] = []
+        if budget_ms is None:
+            # ONE GLOBAL kernel run over every segment's blocks:
+            # segments own disjoint ascending doc-id ranges, so the
+            # per-term multi-segment frames are valid posting lists
+            # after the cursor's first_doc sort, and the WAND heap
+            # threshold climbs GLOBALLY — one cursor set instead of a
+            # per-segment Python sweep (per-query cost stops growing
+            # with segment count: at 128 segments the swept form paid
+            # 128 kernel setups and decoded ≥k docs per segment).
+            # Per-segment bound factors fold in by pre-scaling each
+            # block's max (bounds only — scoring is untouched); rank
+            # identity with the swept form is by construction and
+            # pinned by test + fuzz.
+            nonempty = {t: pdf for t, pdf in blocks.items() if len(pdf)}
+            segs: set[int] = set()
+            for pdf in nonempty.values():
+                segs.update(int(s) for s in np.unique(pdf["segment_id"].to_numpy()))
+            stats["segments_touched"] = len(segs)
+            if any(self.bound_factors.get(s, 1.0) != 1.0 for s in segs):
+                nonempty = {
+                    t: pdf.assign(
+                        block_max=pdf["block_max"].to_numpy()
+                        * pdf["segment_id"].map(self.bound_factors).fillna(1.0).to_numpy()
+                    )
+                    for t, pdf in nonempty.items()
+                }
+            hits = segment_topk(nonempty, qterms, idf_map, self.avgdl, k,
+                                self.k1, self.b, bound_factor=1.0,
+                                dead=self._dead_union(), stats=stats)
+        else:
+            # ST4 budgeted queries keep the per-segment sweep: the
+            # deadline is checked between segments so at least one
+            # segment always completes and partial results stay
+            # segment-aligned (the truncation contract).
+            per_seg: dict[int, dict[str, object]] = {}
+            for t, pdf in blocks.items():
+                if not len(pdf):
+                    continue
+                for seg, g in pdf.groupby("segment_id"):
+                    per_seg.setdefault(int(seg), {})[t] = g
+            for i, (seg, by_term) in enumerate(sorted(per_seg.items())):
+                if i > 0 and (time.time() - t0) * 1e3 > budget_ms:
+                    self.truncated = True
+                    break
+                stats["segments_touched"] += 1
+                hits.extend(
+                    segment_topk(by_term, qterms, idf_map, self.avgdl, k,
+                                 self.k1, self.b,
+                                 bound_factor=self.bound_factors.get(seg, 1.0),
+                                 dead=self._dead(seg), stats=stats)
+                )
         hits.sort(key=lambda x: (-x[1], x[0]))
         self._record_stats(stats, t0)
         return hits[:k]
+
+    def _dead_union(self) -> "np.ndarray | None":
+        """Sorted union of ALL segments' tombstoned doc ids, built
+        lazily and reset by refresh() — the liveness input of the
+        global-kernel path. This is serving-REPLICA state (the same
+        arrays `_dead_cache` already holds, merged once), not a query
+        closure: the no-global-tombstone-array invariant targets plans
+        and closures shipped to Spark executors, where every query
+        would re-serialize the array."""
+        with self._lock:
+            arr = self._dead_union_cache
+        if arr is None:
+            parts = [self._dead(s) for s in sorted(self._dead_segs)]
+            parts = [p for p in parts if p is not None]
+            arr = (
+                np.sort(np.concatenate(parts))
+                if parts else np.empty(0, dtype=np.int64)
+            )
+            with self._lock:
+                self._dead_union_cache = arr
+        return arr if len(arr) else None
 
     def _record_stats(self, stats: dict, t0: float) -> None:
         stats["ms"] = round((time.time() - t0) * 1e3, 3)

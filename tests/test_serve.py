@@ -487,3 +487,36 @@ def test_snippets(spark, small_corpus):
     serve_loop(idx, stdin=stdin, stdout=stdout)
     resp = json.loads(stdout.getvalue().splitlines()[0])
     assert all("snippet" in r for r in resp["results"])
+
+
+def test_global_kernel_matches_segment_sweep(spark, tmp_path):
+    """The unbudgeted serving path runs ONE global WAND kernel over all
+    segments (bound factors pre-scaled into block maxima, union
+    liveness); a budgeted query with an unreachable deadline runs the
+    per-segment sweep. Both must rank identically on an index with
+    deletes AND an extend (avgdl drift → bound_factor != 1)."""
+    from mantic_sh_spark.operators.delete import delete_docs
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    pages = gen_pages(spark, SynthConfig(n_docs=300, vocab_size=300, seed=17),
+                      partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=3)
+    # extend with much longer docs → global avgdl drifts upward
+    more = gen_pages(spark, SynthConfig(n_docs=120, vocab_size=300, seed=18,
+                                        len_mu=5.6), partitions=2)
+    extend_index(spark, idx, more, n_new_segments=2)
+    reader0 = IndexReader(idx)
+    victims = [d for d, _ in reader0.topk("w1x", k=3)]
+    delete_docs(spark, idx, doc_ids=victims[:2])
+
+    reader = IndexReader(idx)
+    assert any(f != 1.0 for f in reader.bound_factors.values()), \
+        "fixture must exercise the bound-factor scaling path"
+    for q in ("w1x", "w1x w2x", "w0x w3x w9x", "qqabsent"):
+        global_hits = reader.topk(q, k=8)
+        swept = reader.topk(q, k=8, budget_ms=60_000)
+        assert global_hits == swept, q
+        assert all(d not in victims[:2] for d, _ in global_hits), q
