@@ -50,6 +50,13 @@ from .sources.catalog import IndexPaths
 _POSTING_COLS = ["tid", "first_doc", "last_doc", "block_max", "n",
                  "doc_gaps", "tfs", "dls"]
 
+# Posting volume above which a WAND-hopeless (dense) query routes to
+# the per-segment sliced TAAT sweep instead of the global kernel: one
+# global decode of N postings allocates ~10 N-sized temporaries, which
+# turns memory-bandwidth-bound once they outgrow cache (~50 MB here),
+# while per-segment slices stay cache-resident (topk strategy split).
+_GLOBAL_TAAT_SPILL = 2_000_000
+
 
 class IndexReader:
     """Long-lived single-index reader: metadata memo + hot-term block
@@ -382,7 +389,31 @@ class IndexReader:
         blocks = self._blocks(sorted(idf_map), stats=stats)
         qterms = sorted(idf_map)
         hits: list[tuple[int, float]] = []
-        if budget_ms is None:
+        # Execution-strategy split (exactness is unaffected — both
+        # forms are exact). WAND pruning is hopeless exactly when even
+        # the RAREST query term is dense in the corpus (block maxima
+        # then barely vary, θ never skips, and the Python pivot walk
+        # visits ~every doc): single terms and all-head combos. Those
+        # queries run the per-SEGMENT sliced TAAT sweep — each slice's
+        # vectorized decode stays cache-resident, while one global
+        # decode allocates corpus-sized temporaries and turns memory-
+        # bandwidth-bound (measured 5x slower on 8M-doc head terms on
+        # this bandwidth-starved box). Everything else runs the ONE
+        # global kernel below (mid/needle combos: measured 64 ms p50 at
+        # 8M docs vs 200+ ms swept).
+        from .operators.wand import TAAT_SELECTIVITY
+
+        counts = [int(blocks[t]["n"].sum()) for t in qterms if len(blocks[t])]
+        total = sum(counts)
+        dense_min = (
+            bool(counts)
+            and min(counts) * TAAT_SELECTIVITY >= max(1, self.n_docs)
+        )
+        # the sliced sweep only pays off once the global decode's
+        # temporaries outgrow cache — below this posting volume the
+        # global kernel wins for every query class
+        taat_class = (len(counts) <= 1 or dense_min) and total >= _GLOBAL_TAAT_SPILL
+        if budget_ms is None and not taat_class:
             # ONE GLOBAL kernel run over every segment's blocks:
             # segments own disjoint ascending doc-id ranges, so the
             # per-term multi-segment frames are valid posting lists
@@ -412,10 +443,10 @@ class IndexReader:
                                 self.k1, self.b, bound_factor=1.0,
                                 dead=self._dead_union(), stats=stats)
         else:
-            # ST4 budgeted queries keep the per-segment sweep: the
-            # deadline is checked between segments so at least one
-            # segment always completes and partial results stay
-            # segment-aligned (the truncation contract).
+            # Per-segment sweep: ST4 budgeted queries (deadline checked
+            # between segments, so at least one segment always completes
+            # and partial results stay segment-aligned) AND TAAT-class
+            # queries (cache-resident sliced decode — see above).
             per_seg: dict[int, dict[str, object]] = {}
             for t, pdf in blocks.items():
                 if not len(pdf):
@@ -423,7 +454,8 @@ class IndexReader:
                 for seg, g in pdf.groupby("segment_id"):
                     per_seg.setdefault(int(seg), {})[t] = g
             for i, (seg, by_term) in enumerate(sorted(per_seg.items())):
-                if i > 0 and (time.time() - t0) * 1e3 > budget_ms:
+                if (budget_ms is not None and i > 0
+                        and (time.time() - t0) * 1e3 > budget_ms):
                     self.truncated = True
                     break
                 stats["segments_touched"] += 1
