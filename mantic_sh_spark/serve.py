@@ -405,15 +405,20 @@ class IndexReader:
 
         counts = [int(blocks[t]["n"].sum()) for t in qterms if len(blocks[t])]
         total = sum(counts)
-        dense_min = (
-            bool(counts)
-            and min(counts) * TAAT_SELECTIVITY >= max(1, self.n_docs)
+        # dense_min: even the rarest term is corpus-dense (θ hopeless);
+        # the min*sel >= total clause mirrors segment_topk's OWN TAAT
+        # predicate so a skewed multi-term query the kernel would run
+        # as one giant global TAAT is routed to the sweep too (review
+        # r4 finding: the two cost models must agree above the spill)
+        dense_min = bool(counts) and (
+            min(counts) * TAAT_SELECTIVITY >= max(1, self.n_docs)
+            or min(counts) * TAAT_SELECTIVITY >= total
         )
         # the sliced sweep only pays off once the global decode's
         # temporaries outgrow cache — below this posting volume the
         # global kernel wins for every query class
         taat_class = (len(counts) <= 1 or dense_min) and total >= _GLOBAL_TAAT_SPILL
-        if budget_ms is None and not taat_class:
+        if budget_ms is None and not taat_class and self._blocks_globally_disjoint(blocks):
             # ONE GLOBAL kernel run over every segment's blocks:
             # segments own disjoint ascending doc-id ranges, so the
             # per-term multi-segment frames are valid posting lists
@@ -469,6 +474,28 @@ class IndexReader:
         self._record_stats(stats, t0)
         return hits[:k]
 
+    @staticmethod
+    def _blocks_globally_disjoint(blocks: dict) -> bool:
+        """The global-kernel premise, checked per query term: sorted by
+        first_doc, every term's block intervals must be non-overlapping
+        — true for any freshly built or extended index (segments own
+        disjoint ascending doc-id ranges), but a COMPACTED merge of
+        NON-CONTIGUOUS source segments re-encodes blocks that can span
+        the stride gap and envelop a live segment's range (review r4
+        finding: _Cursor's searchsorted seek silently mis-ranks on a
+        non-monotone `last` array). O(blocks) numpy per query; on
+        violation the query falls back to the per-segment sweep, which
+        is correct for every layout."""
+        for pdf in blocks.values():
+            if len(pdf) < 2:
+                continue
+            first = pdf["first_doc"].to_numpy()
+            last = pdf["last_doc"].to_numpy()
+            order = np.argsort(first, kind="stable")
+            if not np.all(first[order][1:] > last[order][:-1]):
+                return False
+        return True
+
     def _dead_union(self) -> "np.ndarray | None":
         """Sorted union of ALL segments' tombstoned doc ids, built
         lazily and reset by refresh() — the liveness input of the
@@ -479,15 +506,23 @@ class IndexReader:
         would re-serialize the array."""
         with self._lock:
             arr = self._dead_union_cache
+            epoch = self._epoch
+            dead_segs = self._dead_segs
         if arr is None:
-            parts = [self._dead(s) for s in sorted(self._dead_segs)]
+            parts = [self._dead(s) for s in sorted(dead_segs)]
             parts = [p for p in parts if p is not None]
             arr = (
                 np.sort(np.concatenate(parts))
                 if parts else np.empty(0, dtype=np.int64)
             )
             with self._lock:
-                self._dead_union_cache = arr
+                # install only if no refresh() interleaved (review r4
+                # finding: a racing reload must not be poisoned with
+                # the PRE-refresh union for its whole epoch); the
+                # in-flight query still uses the snapshot it started
+                # under — the documented refresh visibility contract
+                if self._epoch == epoch and self._dead_union_cache is None:
+                    self._dead_union_cache = arr
         return arr if len(arr) else None
 
     def _record_stats(self, stats: dict, t0: float) -> None:

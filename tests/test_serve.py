@@ -520,3 +520,31 @@ def test_global_kernel_matches_segment_sweep(spark, tmp_path):
         swept = reader.topk(q, k=8, budget_ms=60_000)
         assert global_hits == swept, q
         assert all(d not in victims[:2] for d, _ in global_hits), q
+
+
+def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path):
+    """A compacted merge of NON-CONTIGUOUS sources re-encodes blocks
+    that span the stride gap and envelop a live segment's doc range —
+    the global kernel's disjointness premise fails there, the per-query
+    guard must detect it, and results must stay identical to the
+    per-segment sweep (review r4 finding: without the guard the global
+    cursor's searchsorted seek silently mis-ranks)."""
+    from mantic_sh_spark.functions.tokenize import tokenize_query
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    pages = gen_pages(spark, SynthConfig(n_docs=400, vocab_size=200, seed=23),
+                      partitions=4)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=4)
+    # fold segments 0 and 2, leaving 1 and 3 live in between
+    merge_segments(spark, idx, [0, 2], dst_segment=5, compact=True, purge=True)
+
+    reader = IndexReader(idx)
+    # the fixture must actually produce the overlapping layout
+    head = tokenize_query("w1x")
+    assert not reader._blocks_globally_disjoint(reader._blocks(head)), \
+        "expected a spanning block from the non-contiguous compaction"
+    for q in ("w1x", "w1x w2x", "w0x w4x w7x", "w3x w9x"):
+        assert reader.topk(q, k=8) == reader.topk(q, k=8, budget_ms=60_000), q
