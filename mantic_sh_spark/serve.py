@@ -58,6 +58,23 @@ _POSTING_COLS = ["tid", "first_doc", "last_doc", "block_max", "n",
 _GLOBAL_TAAT_SPILL = 2_000_000
 
 
+def _frame_disjoint(pdf) -> bool:
+    """Global-kernel precondition for ONE term's blocks frame: sorted
+    by first_doc, block [first, last] intervals are non-overlapping —
+    true for any freshly built or extended index (segments own disjoint
+    ascending doc-id ranges); a COMPACTED merge of NON-CONTIGUOUS
+    source segments re-encodes blocks that can span the stride gap and
+    envelop a live segment's range, where _Cursor's searchsorted seek
+    would silently mis-rank (review r4 finding — such terms fall back
+    to the per-segment sweep)."""
+    if len(pdf) < 2:
+        return True
+    first = pdf["first_doc"].to_numpy()
+    last = pdf["last_doc"].to_numpy()
+    order = np.argsort(first, kind="stable")
+    return bool(np.all(first[order][1:] > last[order][:-1]))
+
+
 class IndexReader:
     """Long-lived single-index reader: metadata memo + hot-term block
     LRU + per-term df cache. THREAD-SAFE for concurrent queries under a
@@ -170,6 +187,7 @@ class IndexReader:
         self._df_cache.clear()
         self._dead_cache.clear()
         self._dead_union_cache = None  # global-kernel liveness input
+        self._disjoint_verdicts: dict[str, bool] = {}  # per-term, set at LRU install
         # counters restart with the new index state (counters() promises
         # totals "since construction/refresh"); the epoch bump
         # invalidates every thread's thread-local last_stats
@@ -177,7 +195,7 @@ class IndexReader:
         self._epoch += 1
         self.totals = {"queries": 0, "segments_touched": 0,
                        "blocks_considered": 0, "blocks_decoded": 0,
-                       "terms_cold": 0}
+                       "terms_cold": 0, "global_fallbacks": 0}
 
     @staticmethod
     def _dataset_or_none(path: str):
@@ -299,10 +317,16 @@ class IndexReader:
                     lru[t] = g
                     out[t] = g
                     found.add(t)
+                    # memoized global-kernel precondition per term: the
+                    # verdict is a pure function of the immutable frame
+                    # (cleared on refresh), so it is computed ONCE at
+                    # install instead of per query (review r4 finding)
+                    self._disjoint_verdicts[t] = _frame_disjoint(g)
                 for t in missing:
                     if t not in found:
                         lru[t] = pdf.iloc[0:0]
                         out[t] = lru[t]
+                        self._disjoint_verdicts[t] = True
                 while len(lru) > self.max_hot_terms:
                     lru.popitem(last=False)
         return out
@@ -370,21 +394,38 @@ class IndexReader:
         timeout that returns partial results rather than hanging an
         agent): the deadline is checked between SEGMENTS — at least one
         segment always completes — and exceeding it stops the sweep;
-        self.truncated records whether the last answer was partial."""
+        self.truncated records whether the last answer was partial.
+
+        A query that straddles a concurrent refresh() re-runs once
+        against the new epoch: without the retry an attempt could mix
+        pre-refresh postings with post-refresh liveness (e.g. a
+        purge-merge clears tombstones whose postings the attempt
+        already fetched → a purged doc resurfaces). The retry
+        linearizes the answer to the post-refresh state for direct
+        library/MCP embedders; serve_loop additionally drains before
+        refreshing."""
+        t0 = time.time()
+        for _ in range(2):
+            epoch0 = self._epoch
+            stats = {"segments_touched": 0, "blocks_considered": 0,
+                     "blocks_decoded": 0, "terms_cold": 0}
+            hits = self._topk_attempt(query, k, budget_ms, stats, t0)
+            if self._epoch == epoch0:
+                break
+        self._record_stats(stats, t0)
+        return hits
+
+    def _topk_attempt(self, query: str, k: int, budget_ms: float | None,
+                      stats: dict, t0: float) -> list[tuple[int, float]]:
         from .operators.wand import segment_topk
 
-        t0 = time.time()
-        stats = {"segments_touched": 0, "blocks_considered": 0,
-                 "blocks_decoded": 0, "terms_cold": 0}
         self.truncated = False
         if self._postings is None:
-            self._record_stats(stats, t0)  # zeroed counters, still a query
             return []
         terms = tokenize_query(query)
         dfs = self.df(terms)
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
         if not idf_map:
-            self._record_stats(stats, t0)
             return []
         blocks = self._blocks(sorted(idf_map), stats=stats)
         qterms = sorted(idf_map)
@@ -418,7 +459,14 @@ class IndexReader:
         # temporaries outgrow cache — below this posting volume the
         # global kernel wins for every query class
         taat_class = (len(counts) <= 1 or dense_min) and total >= _GLOBAL_TAAT_SPILL
-        if budget_ms is None and not taat_class and self._blocks_globally_disjoint(blocks):
+        # memoized per-term global-kernel precondition (computed once
+        # at LRU install); a violation (non-contiguous compacted merge)
+        # falls back to the sweep and is COUNTED so the latency cliff
+        # is diagnosable from read-amp observability
+        ok_global = all(self._disjoint_verdicts.get(t, True) for t in qterms)
+        if budget_ms is None and not taat_class and not ok_global:
+            stats["global_fallbacks"] = 1
+        if budget_ms is None and not taat_class and ok_global:
             # ONE GLOBAL kernel run over every segment's blocks:
             # segments own disjoint ascending doc-id ranges, so the
             # per-term multi-segment frames are valid posting lists
@@ -471,30 +519,16 @@ class IndexReader:
                                  dead=self._dead(seg), stats=stats)
                 )
         hits.sort(key=lambda x: (-x[1], x[0]))
-        self._record_stats(stats, t0)
         return hits[:k]
 
     @staticmethod
     def _blocks_globally_disjoint(blocks: dict) -> bool:
-        """The global-kernel premise, checked per query term: sorted by
-        first_doc, every term's block intervals must be non-overlapping
-        — true for any freshly built or extended index (segments own
-        disjoint ascending doc-id ranges), but a COMPACTED merge of
-        NON-CONTIGUOUS source segments re-encodes blocks that can span
-        the stride gap and envelop a live segment's range (review r4
-        finding: _Cursor's searchsorted seek silently mis-ranks on a
-        non-monotone `last` array). O(blocks) numpy per query; on
-        violation the query falls back to the per-segment sweep, which
-        is correct for every layout."""
-        for pdf in blocks.values():
-            if len(pdf) < 2:
-                continue
-            first = pdf["first_doc"].to_numpy()
-            last = pdf["last_doc"].to_numpy()
-            order = np.argsort(first, kind="stable")
-            if not np.all(first[order][1:] > last[order][:-1]):
-                return False
-        return True
+        """Direct (non-memoized) form of the global-kernel premise —
+        every term's block intervals non-overlapping when sorted by
+        first_doc. The hot path uses per-term verdicts memoized at LRU
+        install (_disjoint_verdicts); this form exists for tests and
+        diagnostics."""
+        return all(_frame_disjoint(pdf) for pdf in blocks.values())
 
     def _dead_union(self) -> "np.ndarray | None":
         """Sorted union of ALL segments' tombstoned doc ids, built
@@ -533,7 +567,7 @@ class IndexReader:
             self._last_shared = stats
             self.totals["queries"] += 1
             for key in ("segments_touched", "blocks_considered",
-                        "blocks_decoded", "terms_cold"):
+                        "blocks_decoded", "terms_cold", "global_fallbacks"):
                 self.totals[key] += stats.get(key, 0)
 
     def counters(self) -> dict:
@@ -578,19 +612,31 @@ class IndexReader:
         """[(doc_id, n_matches)] ranked (n_matches desc, doc_id asc) —
         exact/sloppy phrase served from positional postings with no
         Spark job; value-identical to operators.phrase.phrase_topk
-        (same per-segment kernel)."""
+        (same per-segment kernel; phrase stays per-segment by design:
+        verification decodes every candidate block, so there is nothing
+        a global run could prune and the sliced decode is the
+        cache-friendly form). Same straddling-refresh retry as topk."""
+        t0 = time.time()
+        for _ in range(2):
+            epoch0 = self._epoch
+            stats = {"segments_touched": 0, "blocks_considered": 0,
+                     "blocks_decoded": 0, "terms_cold": 0}
+            hits = self._phrase_attempt(phrase, k, slop, stats)
+            if self._epoch == epoch0:
+                break
+        self._record_stats(stats, t0)
+        return hits
+
+    def _phrase_attempt(self, phrase: str, k: int, slop: int,
+                        stats: dict) -> list[tuple[int, int]]:
         from .functions.tokenize import tokenize
         from .operators.phrase import segment_phrase_matches
 
-        t0 = time.time()
-        stats = {"segments_touched": 0, "blocks_considered": 0,
-                 "blocks_decoded": 0, "terms_cold": 0}
         self.truncated = False
         if not self.has_positions:
             raise ValueError("phrase serving requires an index built with store_positions=True")
         terms = tokenize(phrase)  # ordered, repeats kept
         if not terms:
-            self._record_stats(stats, t0)
             return []
         per_seg = self._pos_blocks_by_segment(sorted(set(terms)), stats)
         hits: list[tuple[int, int]] = []
@@ -601,7 +647,6 @@ class IndexReader:
             stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
             hits.extend(segment_phrase_matches(by_term, terms, self._dead(seg), slop))
         hits.sort(key=lambda x: (-x[1], x[0]))
-        self._record_stats(stats, t0)
         return hits[:k]
 
     def _scores_for_docs(self, terms: list[str],

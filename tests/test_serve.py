@@ -546,5 +546,33 @@ def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path):
     head = tokenize_query("w1x")
     assert not reader._blocks_globally_disjoint(reader._blocks(head)), \
         "expected a spanning block from the non-contiguous compaction"
-    for q in ("w1x", "w1x w2x", "w0x w4x w7x", "w3x w9x"):
+    queries = ("w1x", "w1x w2x", "w0x w4x w7x", "w3x w9x")
+    # at least one multi-term query must EXERCISE the guard (otherwise
+    # the identity check degenerates to sweep-vs-sweep); record which
+    guarded = [
+        q for q in queries
+        if not reader._blocks_globally_disjoint(
+            reader._blocks(sorted(set(tokenize_query(q)))))
+    ]
+    assert guarded, "no query hit the overlapping layout — fixture drifted"
+    before = reader.counters()["total"]["global_fallbacks"]
+    for q in queries:
         assert reader.topk(q, k=8) == reader.topk(q, k=8, budget_ms=60_000), q
+    assert reader.counters()["total"]["global_fallbacks"] > before
+
+    # ... and the sweep itself must be RIGHT on this layout, not just
+    # self-consistent: compare a guarded query against the independent
+    # exhaustive engine over the (purged) docs table
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.functions.tokenize import tokens_col
+    from mantic_sh_spark.operators.query import bm25_topk
+
+    docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    for qi, q in enumerate(q for q in queries if len(tokenize_query(q)) > 1):
+        ex = [
+            (r.doc_id, r.score)
+            for r in bm25_topk(spark, docs, [(qi, q)], k=8)
+            .orderBy("rank").collect()
+        ]
+        assert reader.topk(q, k=8) == ex, q
