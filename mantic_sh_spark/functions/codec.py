@@ -483,7 +483,8 @@ def _load_segment_dead(tombstones_path: str, segments) -> "np.ndarray | None":
 
 
 def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK_SIZE,
-                      dead_src=None, with_positions: bool = False):
+                      dead_src=None, with_positions: bool = False,
+                      split_ranges: bool = False):
     """mapInArrow block compactor for segment merges: input is block
     rows sorted by (tid, first_doc) within each partition. Full blocks
     PASS THROUGH without decode; undersized blocks (chunk/segment tails)
@@ -491,6 +492,16 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
     Memory is O(block_size) regardless of term frequency — a stop term
     over a billion-doc merged segment streams through, never
     materializing its posting list.
+
+    split_ranges=True keeps every emitted block within ONE doc-id
+    stride range (doc_id DIV SEG_STRIDE): a merge that leaves OTHER
+    live segments behind must not re-encode blocks spanning the gap
+    between non-contiguous source ranges, or the spanning interval
+    envelops a live segment's range and the serving reader's
+    global-kernel premise (per-term block intervals globally disjoint)
+    breaks. Cost: at most one short block per (term, source range) —
+    exactly the cross-range merging that would be unsound. merge sets
+    it automatically iff live segments remain (operators/merge.py).
 
     `dead_src` = (tombstones_path, [src_segment_ids]) purges tombstoned
     postings: each TASK loads the union of those segments' liveness
@@ -600,11 +611,20 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     emit_from_buffer(final=True)
                     cur_tid = int(tids[i])
                     cur_seg = int(segs[i])
+                if (split_ranges and buf_d
+                        and int(buf_d[-1][-1]) // SEG_STRIDE
+                        != int(firsts[i]) // SEG_STRIDE):
+                    # crossing into a new stride range: flush the tail
+                    # so no block ever spans the gap
+                    emit_from_buffer(final=True)
                 intersects = dead_arr is not None and (
                     int(np.searchsorted(dead_arr, firsts[i]))
                     < int(np.searchsorted(dead_arr, lasts[i], side="right"))
                 )
-                if not buf_d and ns[i] == block_size and not intersects:
+                if (not buf_d and ns[i] == block_size and not intersects
+                        and not (split_ranges
+                                 and int(firsts[i]) // SEG_STRIDE
+                                 != int(lasts[i]) // SEG_STRIDE)):
                     # aligned full block, no tombstones in range: pass
                     # through untouched
                     out["tid"].append(cur_tid)
@@ -632,13 +652,32 @@ def compact_stream_fn(avgdl: float, k1: float, b: float, block_size: int = BLOCK
                     d, t, l = d[keep], t[keep], l[keep]
                     if not len(d):
                         continue
-                buf_d.append(d)
-                buf_t.append(t)
-                buf_l.append(l)
-                if with_positions:
-                    buf_p.append(pf)
-                if buffered() >= block_size:
-                    emit_from_buffer(final=False)
+                if split_ranges and int(d[0]) // SEG_STRIDE != int(d[-1]) // SEG_STRIDE:
+                    # a SOURCE block that already spans ranges (legacy
+                    # compaction of non-contiguous sources): split it
+                    # so the re-encoded output is range-pure
+                    rng = d // SEG_STRIDE
+                    cuts = (np.flatnonzero(rng[1:] != rng[:-1]) + 1).tolist()
+                    pieces = []
+                    lo = 0
+                    for hi in cuts + [len(d)]:
+                        pieces.append((lo, hi))
+                        lo = hi
+                else:
+                    pieces = [(0, len(d))]
+                pos_off = np.concatenate(([0], np.cumsum(t))) if with_positions else None
+                for lo, hi in pieces:
+                    if (split_ranges and buf_d
+                            and int(buf_d[-1][-1]) // SEG_STRIDE
+                            != int(d[lo]) // SEG_STRIDE):
+                        emit_from_buffer(final=True)
+                    buf_d.append(d[lo:hi])
+                    buf_t.append(t[lo:hi])
+                    buf_l.append(l[lo:hi])
+                    if with_positions:
+                        buf_p.append(pf[pos_off[lo]:pos_off[hi]])
+                    if buffered() >= block_size:
+                        emit_from_buffer(final=False)
             rb_out = flush_out()
             if rb_out is not None:
                 yield rb_out

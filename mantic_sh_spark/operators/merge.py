@@ -222,13 +222,44 @@ def merge_segments(
         # WITHOUT decode; ragged chunk/segment tails buffer into
         # O(block_size) leftovers and re-emit full blocks — a stop term
         # over the whole merged segment streams, never materializes.
+        # When live postings segments REMAIN after this merge, the
+        # compactor keeps every re-encoded block within one doc-id
+        # stride range (split_ranges): blocks spanning the gap between
+        # non-contiguous source ranges would envelop a surviving
+        # segment's doc range and break the serving reader's
+        # global-kernel disjointness premise (which would silently
+        # demote those terms to the swept path forever). A merge that
+        # folds EVERY live segment compacts maximally — nothing remains
+        # to interleave, and future extends allocate ranges strictly
+        # above all existing ones.
         from .index_build import BLOCK_ROW_SCHEMA_POS
 
+        # split only when a SURVIVING segment's doc span overlaps the
+        # sources' combined span (then a cross-range block would
+        # envelop it): a contiguous fold with everything else above or
+        # below — and any fold of ALL live segments — keeps maximal
+        # cross-range compaction. One tiny stats-pruned agg (two int
+        # columns) decides it.
+        spans = {
+            r.segment_id: (r.lo, r.hi)
+            for r in raw.groupBy("segment_id").agg(
+                F.min("first_doc").alias("lo"), F.max("last_doc").alias("hi")
+            ).collect()
+        }
+        src_spans = [spans[s] for s in srcs if s in spans]
+        src_lo = min(lo for lo, _ in src_spans) if src_spans else 0
+        src_hi = max(hi for _, hi in src_spans) if src_spans else 0
+        split_ranges = any(
+            lo <= src_hi and hi >= src_lo
+            for s, (lo, hi) in spans.items()
+            if s not in srcs
+        )
         merged = ordered.mapInArrow(
             codec.compact_stream_fn(
                 avgdl, k1, b,
                 dead_src=(paths.tombstones, srcs) if purge_df is not None else None,
                 with_positions=has_positions,
+                split_ranges=split_ranges,
             ),
             schema=BLOCK_ROW_SCHEMA_POS if has_positions else BLOCK_ROW_SCHEMA,
         )

@@ -522,13 +522,46 @@ def test_global_kernel_matches_segment_sweep(spark, tmp_path):
         assert all(d not in victims[:2] for d, _ in global_hits), q
 
 
-def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path):
-    """A compacted merge of NON-CONTIGUOUS sources re-encodes blocks
-    that span the stride gap and envelop a live segment's doc range —
-    the global kernel's disjointness premise fails there, the per-query
-    guard must detect it, and results must stay identical to the
+def test_noncontiguous_merge_stays_global(spark, tmp_path):
+    """The compactor keeps re-encoded blocks within one stride range
+    when live segments remain (merge sets split_ranges automatically),
+    so a non-contiguous merge PRESERVES the global-kernel premise: no
+    fallback fires, and results match both the sweep and the
+    independent exhaustive engine."""
+    from mantic_sh_spark.functions.tokenize import tokenize_query, tokens_col
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.operators.query import bm25_topk
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    pages = gen_pages(spark, SynthConfig(n_docs=400, vocab_size=200, seed=23),
+                      partitions=4)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=4)
+    merge_segments(spark, idx, [0, 2], dst_segment=5, compact=True, purge=True)
+
+    reader = IndexReader(idx)
+    queries = ("w1x", "w1x w2x", "w0x w4x w7x", "w3x w9x")
+    for q in queries:
+        assert reader._blocks_globally_disjoint(
+            reader._blocks(sorted(set(tokenize_query(q))))), q
+        assert reader.topk(q, k=8) == reader.topk(q, k=8, budget_ms=60_000), q
+    assert reader.counters()["total"]["global_fallbacks"] == 0
+    docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    for qi, q in enumerate(queries):
+        ex = [(r.doc_id, r.score)
+              for r in bm25_topk(spark, docs, [(qi, q)], k=8).orderBy("rank").collect()]
+        assert reader.topk(q, k=8) == ex, q
+
+
+def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path, monkeypatch):
+    """LEGACY layout (compactions from before split_ranges existed): a
+    non-contiguous merge whose re-encoded blocks span the stride gap
+    and envelop a live segment's doc range. The per-query guard must
+    detect it and fall back, and results must stay identical to the
     per-segment sweep (review r4 finding: without the guard the global
     cursor's searchsorted seek silently mis-ranks)."""
+    import mantic_sh_spark.functions.codec as codec_mod
     from mantic_sh_spark.functions.tokenize import tokenize_query
     from mantic_sh_spark.operators.index_build import build_index
     from mantic_sh_spark.operators.merge import merge_segments
@@ -538,6 +571,14 @@ def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path):
                       partitions=4)
     idx = str(tmp_path / "idx")
     build_index(spark, pages, idx, n_segments=4)
+    # reproduce the pre-split_ranges compactor behavior
+    orig = codec_mod.compact_stream_fn
+
+    def legacy(*a, **kw):
+        kw["split_ranges"] = False
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(codec_mod, "compact_stream_fn", legacy)
     # fold segments 0 and 2, leaving 1 and 3 live in between
     merge_segments(spark, idx, [0, 2], dst_segment=5, compact=True, purge=True)
 
@@ -545,7 +586,7 @@ def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path):
     # the fixture must actually produce the overlapping layout
     head = tokenize_query("w1x")
     assert not reader._blocks_globally_disjoint(reader._blocks(head)), \
-        "expected a spanning block from the non-contiguous compaction"
+        "expected a spanning block from the legacy non-contiguous compaction"
     queries = ("w1x", "w1x w2x", "w0x w4x w7x", "w3x w9x")
     # at least one multi-term query must EXERCISE the guard (otherwise
     # the identity check degenerates to sweep-vs-sweep); record which
