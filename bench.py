@@ -47,6 +47,12 @@ LO_CPUS = int(os.environ.get("BENCH_LO_CPUS", "4"))
 HI_CPUS = int(os.environ.get("BENCH_HI_CPUS", "16"))
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", "400000"))
 SEGMENTS = int(os.environ.get("BENCH_SEGMENTS", "32"))
+# pipelined commit granularity (production form): half the segments per
+# batch → batch 1's terms/manifest commit overlaps batch 2's wide
+# shuffle, and the docs-stage norms commit overlaps batch 1 (measured
+# best at this corpus size: 2 batches; 4+ batches pay more per-batch
+# shuffle overhead than the overlap saves at 400k docs)
+BATCH_SEGMENTS = int(os.environ.get("BENCH_BATCH_SEGMENTS", str(max(8, SEGMENTS // 2))))
 SHUFFLE = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/mantic_bench")
 
@@ -138,7 +144,8 @@ def _build_phase(cores: int, pages_path: str, index_dir: str, master: str | None
     # levels, mis-read as a non-scaling docs stage)
     pages.limit(1).count()
     t0 = time.time()
-    build_index(spark, pages, index_dir, n_segments=SEGMENTS)
+    build_index(spark, pages, index_dir, n_segments=SEGMENTS,
+                batch_segments=BATCH_SEGMENTS)
     dt = time.time() - t0
     from mantic_sh_spark.operators.index_build import LAST_TIMINGS
 
@@ -147,11 +154,15 @@ def _build_phase(cores: int, pages_path: str, index_dir: str, master: str | None
         # the membw ceiling bounds) ...
         "docs_stage_s": round(LAST_TIMINGS.get("docs write", 0.0), 2),
         "postings_stage_s": round(LAST_TIMINGS.get("postings encode+write", 0.0), 2),
-        # ... vs the metadata serial tail (norms/stats/terms/metrics
-        # jobs — fixed seconds at every parallelism; amortizes away at
-        # real corpus sizes where the data stages are hours)
-        "meta_tail_s": round(
-            LAST_TIMINGS.get("norms+collection_stats", 0.0)
+        # ... vs the metadata tail. Since the r4 pipelined-commit
+        # rework, norms/terms/metrics commits run on the commit worker
+        # OVERLAPPED with the postings shuffles — the only serial
+        # remainder on the critical path is the final join wait.
+        "meta_tail_s": round(LAST_TIMINGS.get("commit join", 0.0), 2),
+        # informational: wall seconds the worker spent on overlapped
+        # commits (norms+docs manifest, terms dir, metrics)
+        "commit_worker_s": round(
+            LAST_TIMINGS.get("norms+docs manifest (overlapped)", 0.0)
             + LAST_TIMINGS.get("terms dir", 0.0)
             + LAST_TIMINGS.get("metrics", 0.0), 2),
     }
@@ -414,6 +425,10 @@ def main() -> None:
             stage_scaling[f"{name}_s_lo"] = slo[key]
             stage_scaling[f"{name}_s_hi"] = shi[key]
             stage_scaling[f"{name}_scaling"] = round((slo[key] / shi[key]) / 4.0, 4)
+    # overlapped commit-worker seconds (ride alongside the shuffles —
+    # informational, not a critical-path stage, so no scaling ratio)
+    stage_scaling["commit_worker_s_lo"] = slo.get("commit_worker_s", 0.0)
+    stage_scaling["commit_worker_s_hi"] = shi.get("commit_worker_s", 0.0)
     # shuffle-free Spark-stage ceiling at the same core counts.
     # best-of-two per level with lo/hi INTERLEAVED: this VM's noise
     # comes in multi-minute windows, so two back-to-back lo samples can

@@ -54,8 +54,12 @@ from .docs import build_docs, doc_stats
 # cached test/oracle indexes rebuild instead of failing on old columns
 # (v3: tid-keyed postings + stringless terms dir + partitioned tombstones;
 #  v4: per-block `nbytes` column — size maintenance aggregates int
-#  columns instead of scanning the binary payloads)
-INDEX_FORMAT = 4
+#  columns instead of scanning the binary payloads;
+#  v5: collection_stats carries exact integer `sum_dl` so incremental
+#  folds update global stats from observed deltas instead of re-scanning
+#  the whole norms table — at 10^12 docs that scan is the extend's
+#  dominant fixed cost)
+INDEX_FORMAT = 5
 
 BLOCK_ROW_SCHEMA = (
     "tid long, segment_id int, first_doc long, last_doc long, "
@@ -201,6 +205,26 @@ def segment_count_exprs(segs: Iterable[int]) -> list:
         F.sum(F.when(F.col("segment_id") == s, 1).otherwise(0)).alias(f"c{s}")
         for s in segs
     ]
+
+
+def write_collection_stats(spark: SparkSession, paths: IndexPaths,
+                           n_docs: int, sum_dl: int) -> float:
+    """Commit the one-row global-stats table (driver-side, no job) and
+    return the avgdl it recorded. `sum_dl` is the EXACT integer total
+    doc length: avgdl derives from it by one double division, so
+    incremental folds (extend/upsert) can update stats from observed
+    integer deltas and land on bit-identical values to a fresh build —
+    no whole-norms rescan (format v5)."""
+    avgdl = (float(sum_dl) / float(n_docs)) if n_docs else 0.0
+    write_small_parquet(
+        spark,
+        paths.collection_stats,
+        pd.DataFrame({"n_docs": pd.array([n_docs], dtype="int64"),
+                      "avgdl": [avgdl],
+                      "sum_dl": pd.array([sum_dl], dtype="int64")}),
+        "n_docs long, avgdl double, sum_dl long",
+    )
+    return avgdl
 
 
 def write_format_marker(spark: SparkSession, paths: IndexPaths) -> None:
@@ -555,6 +579,9 @@ def build_index(
         pages = extract_pages(pages)
 
     # ---- stage 'docs': ids + stats, committed once ----
+    docs_commit = None  # deferred norms+manifest commit (runs on the
+    #                     single commit worker, overlapped with the
+    #                     postings stage — see below)
     if -1 not in done_segments(spark, paths, stage="docs"):
         t0 = time.time()
         _t = _trace("done_segments(docs)", _t0)
@@ -566,64 +593,37 @@ def build_index(
         # each segment — re-partitioning + re-sorting here would shuffle
         # the fat text column a SECOND time for an identical layout
         # (measured: the docs stage was ~17 s at 4 AND 16 cores, i.e.
-        # pure bandwidth burn). Write the window output directly.
+        # pure bandwidth burn). Write the window output directly, and
+        # ride collection stats (count, EXACT integer sum of doc_len)
+        # plus per-segment doc counts on it as OBSERVED aggregates — the
+        # docs write is the window job's RESULT stage, where accumulator
+        # updates dedupe across task retries.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        exprs = [F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_len").alias("sum_dl")]
+        count_segs = n_segments <= _OBS_SEG_CAP
+        if count_segs:
+            exprs += segment_count_exprs(range(n_segments))
         (
-            docs.drop("tokens")
+            docs.drop("tokens").observe(obs, *exprs)
             .write.mode("overwrite")
             .partitionBy("segment_id")
             .parquet(paths.docs)
         )
+        vals = obs.get
+        n_docs = int(vals["n_docs"] or 0)
         _t = _trace("docs write", _t)
-        # norms = 3-column pruned scan of the committed docs; collection
-        # stats then aggregate the TINY norms sidecar (and carry n_docs),
-        # so the wide docs table is scanned exactly once here.
-        docs_read = read_or_none(spark, paths.docs)
-        if docs_read is None:  # empty corpus — a parquet write of 0 rows
-            # leaves no readable files; commit an empty-but-valid index
-
-            write_small_parquet(
-                spark,
-                paths.collection_stats,
-                pd.DataFrame({"n_docs": pd.array([0], dtype="int64"), "avgdl": [0.0]}),
-                "n_docs long, avgdl double",
-            )
-            write_format_marker(spark, paths)
+        avgdl = write_collection_stats(spark, paths, n_docs, int(vals["sum_dl"] or 0))
+        write_format_marker(spark, paths)
+        if n_docs == 0:  # empty corpus: commit an empty-but-valid index
             append_manifest(
                 spark,
                 paths,
                 [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": 0, "started_at": t0}],
             )
             return paths
-        # collection stats AND per-segment doc counts ride the norms
-        # write as OBSERVED aggregates (CollectMetrics): ONE job scans
-        # the (3-col pruned) docs table, commits the norms sidecar, and
-        # yields n_docs / avgdl / per-seg counts as a side effect —
-        # replacing two more scheduled jobs in the docs-stage serial
-        # tail. NO repartition: the docs table is already
-        # hive-partitioned by segment_id (one dir per segment), so each
-        # scan task holds rows of exactly one segment — the
-        # dynamic-partition write lands them in place.
-        from pyspark.sql import Observation
-
-        obs = Observation()
-        exprs = [F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")]
-        count_segs = n_segments <= _OBS_SEG_CAP
-        if count_segs:
-            exprs += segment_count_exprs(range(n_segments))
-        doc_stats(docs_read).observe(obs, *exprs).write.mode(
-            "overwrite"
-        ).partitionBy("segment_id").parquet(paths.norms)
-        vals = obs.get
-        write_small_parquet(
-            spark,
-            paths.collection_stats,
-            pd.DataFrame({"n_docs": pd.array([vals["n_docs"]], dtype="int64"),
-                          "avgdl": [float(vals["avgdl"] or 0.0)]}),
-            "n_docs long, avgdl double",
-        )
-        _t = _trace("norms+collection_stats", _t)
-        write_format_marker(spark, paths)
-        n_docs = vals["n_docs"]
         # per-segment docs rows carry the counts forward so the
         # postings stage (this run OR a resume) never re-aggregates
         # norms; the -1 row stays the stage-completion marker
@@ -637,12 +637,30 @@ def build_index(
             else []
         )
         n_docs_by_seg = {r["segment_id"]: r["n_docs"] for r in seg_rows} or None
-        append_manifest(
-            spark,
-            paths,
-            seg_rows
-            + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs, "started_at": t0}],
-        )
+
+        def docs_commit() -> None:
+            # norms = 3-column pruned scan of the committed docs, landed
+            # in place (docs are hive-partitioned by segment_id, so scan
+            # tasks are segment-aligned — no exchange). Runs on the
+            # commit worker OVERLAPPED with the first postings batch's
+            # wide shuffle: nothing on the postings critical path reads
+            # norms (doc counts were observed above), different table
+            # roots, and the worker serializes this manifest append
+            # before every postings-batch append. The docs-done manifest
+            # row commits only after norms are durable, so a crash
+            # mid-overlap re-runs the docs stage on resume — the same
+            # contract as a crash between the old serial steps.
+            _tw = time.time()
+            doc_stats(spark.read.parquet(paths.docs)).write.mode(
+                "overwrite"
+            ).partitionBy("segment_id").parquet(paths.norms)
+            append_manifest(
+                spark,
+                paths,
+                seg_rows
+                + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs, "started_at": t0}],
+            )
+            _trace("norms+docs manifest (overlapped)", _tw)
     else:
         # resuming postings over an existing docs commit: the files we
         # append must match the committed generation's schema
@@ -660,13 +678,12 @@ def build_index(
             .collect()
         )
         n_docs_by_seg = {r.segment_id: r.n_docs for r in seg_count_rows} or None
+        stats = spark.read.parquet(paths.collection_stats).collect()[0]
+        if not stats.n_docs:  # empty corpus: a valid (empty) index, no postings stage
+            return paths
+        avgdl = float(stats.avgdl)
 
-    _t = _trace("docs-stage manifest", _t0)
-    stats = spark.read.parquet(paths.collection_stats).collect()[0]
-    if not stats.n_docs:  # empty corpus: a valid (empty) index, no postings stage
-        return paths
-    avgdl = float(stats.avgdl)
-
+    _t = time.time()
     docs = spark.read.parquet(paths.docs)
     from ..functions.tokenize import tokens_col  # re-derive tokens (cheap JVM regex)
 
@@ -689,48 +706,50 @@ def build_index(
     batches = [pending[i : i + bs] for i in range(0, len(pending), bs)]
     if max_batches is not None:
         batches = batches[:max_batches]
-    if len(batches) == 1:
-        rows = build_postings_for_segments(
-            spark, docs, paths, batches[0], avgdl, k1, b, block_size, store_positions,
-            chunk_size=chunk_size, n_docs_by_seg=n_docs_by_seg,
+    # PIPELINED commits: the docs-stage norms+manifest commit and batch
+    # i's terms-directory commit + manifest append run on ONE commit
+    # worker while the postings wide shuffles run on this thread — the
+    # serial metadata tail overlaps the data stages instead of adding
+    # to the critical path (a single-batch build overlaps the norms
+    # commit with its one shuffle; multi-batch builds overlap every
+    # commit but the last). Safety: postings writes never overlap each
+    # other (the handoff happens after each write completes); the
+    # single worker serializes norms/terms writes AND manifest appends
+    # (docs rows always land before any postings rows); the only
+    # concurrent writes (postings vs norms/terms) target different
+    # table roots, so they never share a committer staging dir. Crash
+    # between a batch's postings commit and its manifest row leaves an
+    # uncommitted segment that _cleanup_uncommitted deletes on resume —
+    # and the docs-done row commits only after norms are durable, so a
+    # crash mid-overlap re-runs the docs stage (same contract as the
+    # old serial order).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _commit_one(segs_built: list[int], t_start: float) -> None:
+        rows = _commit_terms_and_metrics(
+            spark, paths, segs_built, avgdl, t_start, n_docs_by_seg
         )
         append_manifest(spark, paths, rows)
-    else:
-        # PIPELINED batches: batch i's terms-directory commit + manifest
-        # append run on ONE commit worker while batch i+1's wide shuffle
-        # runs on this thread — the serial metadata tail overlaps the
-        # next batch's data stage instead of adding to the critical
-        # path. Safety: postings writes never overlap each other (the
-        # handoff happens after each write completes); the single worker
-        # serializes terms writes AND manifest appends; the only
-        # concurrent writes (postings i+1 vs terms i) target different
-        # table roots, so they never share a committer staging dir.
-        # Crash between a batch's postings commit and its manifest row
-        # leaves an uncommitted segment that _cleanup_uncommitted
-        # deletes on resume — the same contract as a crash mid-batch.
-        from concurrent.futures import ThreadPoolExecutor
 
-        def _commit_one(segs_built: list[int], t_start: float) -> None:
-            rows = _commit_terms_and_metrics(
-                spark, paths, segs_built, avgdl, t_start, n_docs_by_seg
-            )
-            append_manifest(spark, paths, rows)
-
-        with ThreadPoolExecutor(1) as commit_pool:
-            futures = []
-            for seg_batch in batches:
-                for f in futures:
-                    if f.done():
-                        f.result()  # fail fast if an earlier commit died
-                t_start = time.time()
-                segs_built = _encode_and_write_postings(
-                    spark, docs, paths, seg_batch, avgdl, k1, b, block_size,
-                    store_positions, chunk_size,
-                )
-                if segs_built:
-                    futures.append(commit_pool.submit(_commit_one, segs_built, t_start))
+    with ThreadPoolExecutor(1) as commit_pool:
+        futures = []
+        if docs_commit is not None:
+            futures.append(commit_pool.submit(docs_commit))
+        for seg_batch in batches:
             for f in futures:
-                f.result()
+                if f.done():
+                    f.result()  # fail fast if an earlier commit died
+            t_start = time.time()
+            segs_built = _encode_and_write_postings(
+                spark, docs, paths, seg_batch, avgdl, k1, b, block_size,
+                store_positions, chunk_size,
+            )
+            if segs_built:
+                futures.append(commit_pool.submit(_commit_one, segs_built, t_start))
+        _tj = time.time()
+        for f in futures:
+            f.result()
+        _trace("commit join", _tj)
     from .wand import refresh_meta
 
     refresh_meta(index_dir)

@@ -23,13 +23,12 @@ from __future__ import annotations
 
 import time
 
-import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..functions.bm25 import B, K1
-from ..sources.catalog import IndexPaths, append_manifest, read_or_none, write_small_parquet
+from ..sources.catalog import IndexPaths, append_manifest, read_or_none
 from .index_build import BLOCK_ROW_SCHEMA, _delete_path
 
 
@@ -43,7 +42,6 @@ def _purge_docs_and_stats(spark, paths, purge_df, srcs) -> None:
     id list ever reaches the driver or an expression tree, so a
     10^8-tombstone purge plans the same as a 10-tombstone one (the
     dir list itself is one tiny distinct per original segment)."""
-    import pandas as pd
 
     from .docs import SEG_STRIDE
 
@@ -64,18 +62,17 @@ def _purge_docs_and_stats(spark, paths, purge_df, srcs) -> None:
         _delete_path(spark, src_dir)
         spark.read.parquet(staging).write.mode("overwrite").parquet(src_dir)
         _delete_path(spark, staging)
-    # stats over the remaining corpus
+    # stats over the remaining corpus (a purge rewrites norms anyway,
+    # so this one full agg is already proportional to work done; the
+    # exact integer sum_dl re-baselines the incremental-stats chain —
+    # format v5)
+    from .index_build import write_collection_stats
+
     norms_all = spark.read.parquet(paths.norms)
     row = norms_all.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl")
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_len").alias("sum_dl")
     ).collect()[0]
-    write_small_parquet(
-        spark,
-        paths.collection_stats,
-        pd.DataFrame({"n_docs": pd.array([row.n_docs], dtype="int64"),
-                      "avgdl": [float(row.avgdl or 0.0)]}),
-        "n_docs long, avgdl double",
-    )
+    write_collection_stats(spark, paths, int(row.n_docs or 0), int(row.sum_dl or 0))
     # satisfied tombstones = exactly the src segments' partitions plus
     # the orphan partition (-1): the tombstones table is hive-
     # partitioned by the postings-owning segment (delete.delete_docs_df,

@@ -8,7 +8,9 @@ folded in as FRESH segments:
   * new docs get fresh segment ids (max existing + 1 …) and therefore
     fresh, disjoint doc-id ranges — old segments are immutable (the
     LSM discipline; operators/merge.py folds segments later);
-  * collection_stats (n_docs, avgdl) is recomputed over ALL norms;
+  * collection_stats updates INCREMENTALLY and exactly: the stored
+    integer sum_dl (format v5) plus the fold's observed delta — never
+    an index-sized norms rescan;
   * existing segments' block maxima were computed at their build-time
     avgdl; query-side bounds are inflated by max(1, avgdl_now /
     build_avgdl) per segment — a proven upper bound since tf_norm is
@@ -87,28 +89,38 @@ def extend_index(
     cand = list(range(seg_base, seg_base + n_new_segments))
     obs = Observation() if n_new_segments <= _OBS_SEG_CAP else None
     norms_new = doc_stats(all_docs).filter(F.col("segment_id") >= seg_base)
+    delta_exprs = [F.count(F.lit(1)).alias("n_new"),
+                   F.sum("doc_len").alias("sum_dl_new")]
     if obs is not None:
-        norms_new = norms_new.observe(obs, *segment_count_exprs(cand))
+        norms_new = norms_new.observe(obs, *delta_exprs, *segment_count_exprs(cand))
     norms_new.write.mode("append").partitionBy("segment_id").parquet(paths.norms)
+    # global stats update is INCREMENTAL and exact: old integer totals
+    # (collection_stats.sum_dl, format v5) plus the observed delta —
+    # bit-identical to a fresh build's avgdl (one double division of
+    # exact ints), with NO whole-norms rescan (that scan grows with the
+    # INDEX, not the fold — the dominant fixed cost of a small extend
+    # at 10^12 docs).
+    from ..operators.index_build import write_collection_stats
+
+    old = spark.read.parquet(paths.collection_stats).collect()[0]
     if obs is not None:
         vals = obs.get  # one JVM round trip, not one per segment
         n_docs_by_seg = {s: int(vals[f"c{s}"] or 0) for s in cand}
+        n_new, sum_dl_new = int(vals["n_new"] or 0), int(vals["sum_dl_new"] or 0)
     else:
         n_docs_by_seg = None
-    # recompute global stats over the norms table (cheap columnar agg)
-    norms = spark.read.parquet(paths.norms)
-    new_stats = norms.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doc_len").alias("avgdl"))
-    row = new_stats.collect()[0]
-    import pandas as pd
-
-    from ..sources.catalog import write_small_parquet
-
-    write_small_parquet(
-        spark,
-        paths.collection_stats,
-        pd.DataFrame({"n_docs": pd.array([row.n_docs], dtype="int64"),
-                      "avgdl": [float(row.avgdl or 0.0)]}),
-        "n_docs long, avgdl double",
+        # fallback (> _OBS_SEG_CAP new segments): one agg over the NEW
+        # segments' norms only — still fold-sized, never index-sized
+        d = (
+            spark.read.parquet(paths.norms)
+            .filter(F.col("segment_id") >= seg_base)
+            .agg(*delta_exprs)
+            .collect()[0]
+        )
+        n_new, sum_dl_new = int(d.n_new or 0), int(d.sum_dl_new or 0)
+    n_docs_total = int(old.n_docs) + n_new
+    avgdl_new = write_collection_stats(
+        spark, paths, n_docs_total, int(old.sum_dl) + sum_dl_new
     )
 
     from ..functions.tokenize import tokens_col
@@ -119,7 +131,7 @@ def extend_index(
     else:
         segs = [r.segment_id for r in batch.select("segment_id").distinct().collect()]
     rows = build_postings_for_segments(
-        spark, batch, paths, segs, avgdl=float(row.avgdl), store_positions=store_positions,
+        spark, batch, paths, segs, avgdl=avgdl_new, store_positions=store_positions,
         n_docs_by_seg=n_docs_by_seg,
     )
     for r in rows:
@@ -141,7 +153,7 @@ def extend_index(
         paths,
         rows
         + seg_doc_rows
-        + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": row.n_docs, "started_at": t0}],
+        + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs_total, "started_at": t0}],
     )
     from ..operators.index_build import _delete_path
     from ..operators.wand import refresh_meta

@@ -249,3 +249,34 @@ def test_stream_upsert_mode_with_auto_compact(spark, tmp_path):
         got.setdefault(r.query_id, []).append((r.doc_id, round(r.score, 4)))
     assert got == {q: v for q, v in want.items() if v}
     assert 50 in got, "recrawled content must be retrievable"
+
+
+def test_incremental_stats_bit_identical_to_fresh(spark, tmp_path, monkeypatch):
+    """Format v5: extend updates collection_stats from the stored
+    integer sum_dl + the fold's observed delta — the result must be
+    BIT-identical (n_docs, sum_dl, avgdl) to a fresh build over the
+    combined corpus, on both the observed and the fallback
+    (>_OBS_SEG_CAP) delta paths. Rank identity alone only pins avgdl
+    to 4 decimals; this pins the chain exactly."""
+    import mantic_sh_spark.operators.index_build as ib
+
+    cfg = SynthConfig(n_docs=180, vocab_size=300, seed=71, len_mu=4.0)
+    base = gen_pages(spark, cfg, partitions=2)
+    cfg2 = replace(cfg, seed=72, n_docs=90, len_mu=5.0, needle_every=0)
+    extra = gen_pages(spark, cfg2, partitions=2).withColumn(
+        "url", F.regexp_replace("url", "example/", "example/x/")
+    )
+
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, base.unionByName(extra), fresh, n_segments=3)
+    want = spark.read.parquet(f"{fresh}/collection_stats").collect()[0]
+
+    for name, cap in [("obs", 64), ("fb", 0)]:
+        idx = str(tmp_path / name)
+        monkeypatch.setattr(ib, "_OBS_SEG_CAP", 64)  # base build observed
+        build_index(spark, base, idx, n_segments=2)
+        monkeypatch.setattr(ib, "_OBS_SEG_CAP", cap)
+        extend_index(spark, idx, extra, n_new_segments=1)
+        got = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
+        assert (got.n_docs, got.sum_dl) == (want.n_docs, want.sum_dl), name
+        assert got.avgdl == want.avgdl, name  # bit-equal, not approx
