@@ -227,6 +227,62 @@ def write_collection_stats(spark: SparkSession, paths: IndexPaths,
     return avgdl
 
 
+def gc_aborted_extends(spark: SparkSession, paths: IndexPaths) -> list[int]:
+    """Garbage-collect segments left behind by a CRASHED extend/upsert
+    fold, restoring the stats↔tables consistency the incremental
+    (format v5) stats chain depends on.
+
+    Protocol: extend_index appends {stage='extend', status='started'}
+    intent rows for its new segment ids BEFORE touching any table and
+    closes them with status='done' rows in its final (atomic) manifest
+    append. A segment whose LATEST extend row is still 'started' is an
+    aborted fold: whatever subset of its docs/norms/postings/terms
+    partition dirs the crash left are deleted, collection_stats is
+    re-baselined with one full norms aggregation, and the intent is
+    closed with an 'aborted' row. The index-sized norms rescan is paid
+    ONLY on this crash-recovery path — the happy path stays
+    incremental. Called at the top of extend/upsert/merge and on
+    build_index's resume branch (where an orphan docs dir would
+    otherwise be mistaken for a pending fresh-build segment and folded
+    into the index behind the stats chain's back)."""
+    m = read_or_none(spark, paths.manifest)
+    if m is None:
+        return []
+    rows = (
+        m.filter(F.col("stage") == "extend")
+        .select("segment_id", "status", "finished_at")
+        .collect()
+    )
+    latest: dict[int, tuple] = {}
+    for r in rows:
+        # ('started' sorts before any closing row on a timestamp tie)
+        key = (r.finished_at, 0 if r.status == "started" else 1)
+        if r.segment_id not in latest or key > latest[r.segment_id][0]:
+            latest[r.segment_id] = (key, r.status)
+    orphans = sorted(s for s, (_, st) in latest.items() if st == "started")
+    if not orphans:
+        return []
+    for s in orphans:
+        _delete_path(spark, f"{paths.docs}/segment_id={s}")
+        _delete_path(spark, f"{paths.norms}/segment_id={s}")
+        _delete_path(spark, f"{paths.postings}/segment_id={s}")
+        _delete_path(spark, f"{paths.terms}/segment_id={s}")
+    norms = read_or_none(spark, paths.norms)
+    if norms is None:
+        write_collection_stats(spark, paths, 0, 0)
+    else:
+        row = norms.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("s")
+        ).collect()[0]
+        write_collection_stats(spark, paths, int(row.n or 0), int(row.s or 0))
+    append_manifest(
+        spark,
+        paths,
+        [{"segment_id": s, "stage": "extend", "status": "aborted"} for s in orphans],
+    )
+    return orphans
+
+
 def write_format_marker(spark: SparkSession, paths: IndexPaths) -> None:
     """Record the on-disk format version (one-row parquet, driver-side
     commit — no Spark job)."""
@@ -665,6 +721,10 @@ def build_index(
         # resuming postings over an existing docs commit: the files we
         # append must match the committed generation's schema
         check_format(spark, paths)
+        # a crashed extend's orphan docs dirs must NOT be mistaken for
+        # pending fresh-build segments (they'd be folded in behind the
+        # incremental stats chain's back) — GC them first
+        gc_aborted_extends(spark, paths)
         # recover per-segment doc counts from the manifest's docs rows
         # (absent on pre-r4 manifests → postings stage re-aggregates)
         m = read_or_none(spark, paths.manifest)
@@ -723,6 +783,7 @@ def build_index(
     # and the docs-done row commits only after norms are durable, so a
     # crash mid-overlap re-runs the docs stage (same contract as the
     # old serial order).
+    import threading
     from concurrent.futures import ThreadPoolExecutor
 
     def _commit_one(segs_built: list[int], t_start: float) -> None:
@@ -731,10 +792,31 @@ def build_index(
         )
         append_manifest(spark, paths, rows)
 
+    commit_failed = threading.Event()
+
+    def _poisoned(fn, *args) -> None:
+        # queued tasks still run during pool shutdown after an earlier
+        # task raised (shutdown(wait=True) never cancels) — without
+        # this guard a failed norms/docs commit would let a queued
+        # postings-batch commit append its manifest rows anyway,
+        # breaking the docs-rows-before-postings-rows ordering AND
+        # wedging the index: a re-run would see every postings segment
+        # done, find nothing pending, and return before ever
+        # re-submitting the docs commit (review r4 finding). Any
+        # commit failure poisons every later commit; the re-run then
+        # re-runs the docs stage and rebuilds cleanly.
+        if commit_failed.is_set():
+            raise RuntimeError("skipping commit: an earlier pipelined commit failed")
+        try:
+            fn(*args)
+        except BaseException:
+            commit_failed.set()
+            raise
+
     with ThreadPoolExecutor(1) as commit_pool:
         futures = []
         if docs_commit is not None:
-            futures.append(commit_pool.submit(docs_commit))
+            futures.append(commit_pool.submit(_poisoned, docs_commit))
         for seg_batch in batches:
             for f in futures:
                 if f.done():
@@ -745,7 +827,7 @@ def build_index(
                 store_positions, chunk_size,
             )
             if segs_built:
-                futures.append(commit_pool.submit(_commit_one, segs_built, t_start))
+                futures.append(commit_pool.submit(_poisoned, _commit_one, segs_built, t_start))
         _tj = time.time()
         for f in futures:
             f.result()

@@ -151,9 +151,13 @@ def merge_segments(
     source of truth for live segments (finalize step deletes sources).
     """
     paths = IndexPaths(index_dir)
-    from .index_build import check_format
+    from .index_build import check_format, gc_aborted_extends
 
     check_format(spark, paths)  # never rewrite across format generations
+    # heal any crashed fold first — a purge re-baselines stats over the
+    # FULL norms table, which must not include orphan (uncommitted)
+    # extend rows
+    gc_aborted_extends(spark, paths)
     srcs = sorted(int(s) for s in src_segments)
     if dst_segment is None:
         dst_segment = srcs[0]

@@ -48,10 +48,11 @@ def extend_index(
     segments into a positional index (which would corrupt phrase
     queries on the new segments)."""
     paths = IndexPaths(index_dir)
-    from ..operators.index_build import check_format
+    from ..operators.index_build import check_format, gc_aborted_extends
     from ..sources.catalog import read_or_none
 
     check_format(spark, paths)  # never append across format generations
+    gc_aborted_extends(spark, paths)  # heal any earlier crashed fold first
     existing_postings = read_or_none(spark, paths.postings)
     store_positions = existing_postings is not None and "positions" in existing_postings.columns
     # fresh ids must clear BOTH tables' segment dirs: docs dirs keep
@@ -65,6 +66,20 @@ def extend_index(
     )
 
     t0 = time.time()
+    cand = list(range(seg_base, seg_base + n_new_segments))
+    # intent markers BEFORE any table mutation: a crash anywhere in
+    # this fold leaves these as the latest 'started' rows, and the
+    # next extend/upsert/merge/build GCs the partial fold and
+    # re-baselines stats (gc_aborted_extends) — without them the
+    # incremental stats chain would desync from the norms table
+    # forever (review r4 finding). The final manifest append below
+    # closes them with 'done' rows.
+    append_manifest(
+        spark,
+        paths,
+        [{"segment_id": s, "stage": "extend", "status": "started", "started_at": t0}
+         for s in cand],
+    )
     new_docs = build_docs(new_pages, n_segments=n_new_segments, segment_offset=seg_base)
     # build_docs output is already segment-partitioned and doc_id-sorted
     # within segments (window order) — no second text shuffle needed
@@ -86,7 +101,6 @@ def extend_index(
 
     from ..operators.index_build import _OBS_SEG_CAP, segment_count_exprs
 
-    cand = list(range(seg_base, seg_base + n_new_segments))
     obs = Observation() if n_new_segments <= _OBS_SEG_CAP else None
     norms_new = doc_stats(all_docs).filter(F.col("segment_id") >= seg_base)
     delta_exprs = [F.count(F.lit(1)).alias("n_new"),
@@ -146,14 +160,16 @@ def extend_index(
         else []
     )
     # ONE manifest append for postings rows + per-segment docs rows +
-    # the docs completion marker (each append is a commit — batching
-    # them is both cheaper and atomic for this extend)
+    # the docs completion marker + the extend intents' closing rows
+    # (each append is a commit — batching them is both cheaper and
+    # atomic for this extend: the fold is committed iff this lands)
     append_manifest(
         spark,
         paths,
         rows
         + seg_doc_rows
-        + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs_total, "started_at": t0}],
+        + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs_total, "started_at": t0}]
+        + [{"segment_id": s, "stage": "extend", "status": "done", "started_at": t0} for s in cand],
     )
     from ..operators.index_build import _delete_path
     from ..operators.wand import refresh_meta
@@ -198,6 +214,13 @@ def upsert_pages(
     from pyspark.sql import Window
 
     from ..operators.delete import live_docs
+    from ..operators.index_build import gc_aborted_extends
+
+    # heal any earlier crashed fold BEFORE the fingerprint diff: an
+    # orphan (uncommitted) docs row would otherwise make its url look
+    # 'existing' and an identical re-sent page would be skipped as
+    # 'unchanged' — losing the page entirely
+    gc_aborted_extends(spark, paths)
 
     def _latest_per_url(df: DataFrame, *order_cols) -> DataFrame:
         w = Window.partitionBy("url").orderBy(*order_cols)

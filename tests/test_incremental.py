@@ -280,3 +280,53 @@ def test_incremental_stats_bit_identical_to_fresh(spark, tmp_path, monkeypatch):
         got = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
         assert (got.n_docs, got.sum_dl) == (want.n_docs, want.sum_dl), name
         assert got.avgdl == want.avgdl, name  # bit-equal, not approx
+
+
+def test_crashed_extend_gc_heals_stats_and_corpus(spark, tmp_path, monkeypatch):
+    """A fold that crashes mid-way (here: after intent rows, docs and
+    norms appends, and the stats update — before postings commit)
+    leaves orphan segment dirs and drifted collection_stats. The next
+    extend must garbage-collect the partial fold via its 'started'
+    intent rows and re-baseline stats, so the retried fold lands
+    bit-identical to a fresh build over the combined corpus."""
+    import pytest
+
+    import mantic_sh_spark.streaming.incremental as inc
+
+    cfg = SynthConfig(n_docs=200, vocab_size=300, seed=81)
+    base = gen_pages(spark, cfg, partitions=2)
+    extra = gen_pages(spark, replace(cfg, seed=82, n_docs=100, needle_every=0), partitions=2
+                      ).withColumn("url", F.regexp_replace("url", "example/", "example/x/"))
+    idx = str(tmp_path / "idx")
+    build_index(spark, base, idx, n_segments=2)
+    base_stats = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
+
+    real = inc.build_postings_for_segments
+
+    def boom(*a, **k):
+        raise RuntimeError("injected postings crash")
+
+    monkeypatch.setattr(inc, "build_postings_for_segments", boom)
+    with pytest.raises(RuntimeError, match="injected postings crash"):
+        extend_index(spark, idx, extra, n_new_segments=2)
+    monkeypatch.setattr(inc, "build_postings_for_segments", real)
+    # the crash left the stats chain drifted (fold counted, not committed)
+    drifted = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
+    assert drifted.n_docs == base_stats.n_docs + 100
+
+    segs = extend_index(spark, idx, extra, n_new_segments=2)  # retry heals first
+    assert segs
+
+    fresh = str(tmp_path / "fresh")
+    build_index(spark, base.unionByName(extra), fresh, n_segments=2)
+    fs = spark.read.parquet(f"{fresh}/collection_stats").collect()[0]
+    gs = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
+    assert (gs.n_docs, gs.sum_dl, gs.avgdl) == (fs.n_docs, fs.sum_dl, fs.avgdl)
+    assert spark.read.parquet(f"{idx}/norms").count() == gs.n_docs, "no orphan norms rows"
+
+    docs = spark.read.parquet(f"{idx}/docs").withColumn("tokens", tokens_col("text"))
+    assert docs.count() == 300, "no duplicate or orphan docs rows"
+    queries = gen_queries(cfg, n_queries=8)
+    assert _collect(bm25_topk(spark, docs, queries, k=10)) == _collect(
+        wand_topk(spark, idx, queries, k=10)
+    )

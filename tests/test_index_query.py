@@ -331,3 +331,43 @@ def test_format_marker_gates_mutations(spark, tmp_path):
         merge_segments(spark, idx, [0, 1], compact=True, purge=True)
     # queries still answer
     assert wand_topk(spark, idx, [(0, "w1x")], k=3).count() > 0
+
+
+def test_failed_docs_commit_poisons_postings_commits(spark, small_corpus, tmp_path, monkeypatch):
+    """If the deferred docs-stage norms commit fails on the commit
+    worker, the already-queued postings-batch commits must NOT append
+    their manifest rows (the pool runs queued tasks during shutdown):
+    postings 'done' rows without docs rows would make a re-run see
+    nothing pending and return before ever re-submitting the docs
+    commit — a permanently wedged index with no norms table. The
+    poison guard fails them instead; a re-run rebuilds cleanly."""
+    import mantic_sh_spark.operators.index_build as ib
+    from mantic_sh_spark.sources.catalog import IndexPaths, read_or_none
+
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=4)
+    real = ib.doc_stats
+
+    def boom(df):
+        raise RuntimeError("injected norms failure")
+
+    idx = str(tmp_path / "idx")
+    monkeypatch.setattr(ib, "doc_stats", boom)
+    with pytest.raises(Exception, match="injected norms failure"):
+        build_index(spark, pages, idx, n_segments=4)
+    m = read_or_none(spark, IndexPaths(idx).manifest)
+    assert m is None or m.filter(F.col("stage") == "postings").count() == 0, \
+        "poisoned queue must not commit postings rows after a failed docs commit"
+
+    monkeypatch.setattr(ib, "doc_stats", real)
+    build_index(spark, pages, idx, n_segments=4)
+    clean = str(tmp_path / "clean")
+    build_index(spark, pages, clean, n_segments=4)
+    cols = ["segment_id", "tid", "first_doc", "last_doc", "n"]
+    a = spark.read.parquet(f"{idx}/postings").select(cols)
+    b = spark.read.parquet(f"{clean}/postings").select(cols)
+    assert a.count() == b.count() and a.exceptAll(b).count() == 0
+    sa = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
+    sb = spark.read.parquet(f"{clean}/collection_stats").collect()[0]
+    assert (sa.n_docs, sa.sum_dl, sa.avgdl) == (sb.n_docs, sb.sum_dl, sb.avgdl)
+    assert spark.read.parquet(f"{idx}/norms").count() == sa.n_docs
