@@ -229,8 +229,11 @@ class IndexReader:
         from .functions.termhash import term_tid
 
         with self._lock:
-            missing = sorted({t for t in terms if t not in self._df_cache})
+            hits = {t: self._df_cache[t] for t in terms if t in self._df_cache}
             terms_ds = self._terms
+            epoch = self._epoch
+        missing = sorted(set(terms) - hits.keys())
+        got: dict[str, tuple[int, int]] = {}
         if missing:
             # terms-directory I/O outside the lock (same discipline as
             # _fetch_blocks): concurrent cache-hit queries never wait on
@@ -247,9 +250,16 @@ class IndexReader:
                 dfs = {int(t): int(v) for t, v in agg.items()}
                 got = {t: (dfs.get(tid_of[t], 0), tid_of[t]) for t in missing}
             with self._lock:
-                self._df_cache.update(got)
-        with self._lock:
-            return {t: self._df_cache[t] for t in terms}
+                if self._epoch == epoch:  # don't resurrect pre-refresh dfs
+                    self._df_cache.update(got)
+        # return the LOCAL snapshot (first-lock hits + this call's own
+        # fetch), never a cache re-read: a refresh() racing between the
+        # install above and a final cache read can clear the cache and
+        # KeyError on terms installed a moment earlier (seen as a rare
+        # concurrent-test failure). A pre-refresh snapshot is valid for
+        # the in-flight query by the same reasoning as every other
+        # epoch-checked path.
+        return {**hits, **got}
 
     def df(self, terms: list[str]) -> dict[str, int]:
         """Global document frequency per term (lazy, cached)."""
@@ -291,6 +301,7 @@ class IndexReader:
                 else:
                     missing.append(t)
             postings = self._postings
+            epoch = self._epoch
         if missing:
             # the parquet fetch runs OUTSIDE the lock — a cold-term read
             # must not serialize concurrent LRU-hit queries (review r3
@@ -310,23 +321,31 @@ class IndexReader:
 
                 pdf = pd.DataFrame({c: [] for c in columns})
             with self._lock:
+                # frames fetched from a pre-refresh dataset handle must
+                # not be INSTALLED after a racing refresh cleared the
+                # caches (they'd serve stale postings to later queries);
+                # the in-flight query still gets them via `out`
+                fresh = self._epoch == epoch
                 found = set()
                 for tid, g in pdf.groupby("tid"):
                     t = tid2term[int(tid)]
                     g = g.reset_index(drop=True)
-                    lru[t] = g
                     out[t] = g
                     found.add(t)
-                    # memoized global-kernel precondition per term: the
-                    # verdict is a pure function of the immutable frame
-                    # (cleared on refresh), so it is computed ONCE at
-                    # install instead of per query (review r4 finding)
-                    self._disjoint_verdicts[t] = _frame_disjoint(g)
+                    if fresh:
+                        lru[t] = g
+                        # memoized global-kernel precondition per term:
+                        # the verdict is a pure function of the immutable
+                        # frame (cleared on refresh), so it is computed
+                        # ONCE at install instead of per query (review r4
+                        # finding)
+                        self._disjoint_verdicts[t] = _frame_disjoint(g)
                 for t in missing:
                     if t not in found:
-                        lru[t] = pdf.iloc[0:0]
-                        out[t] = lru[t]
-                        self._disjoint_verdicts[t] = True
+                        out[t] = pdf.iloc[0:0]
+                        if fresh:
+                            lru[t] = out[t]
+                            self._disjoint_verdicts[t] = True
                 while len(lru) > self.max_hot_terms:
                     lru.popitem(last=False)
         return out
@@ -462,8 +481,15 @@ class IndexReader:
         # memoized per-term global-kernel precondition (computed once
         # at LRU install); a violation (non-contiguous compacted merge)
         # falls back to the sweep and is COUNTED so the latency cliff
-        # is diagnosable from read-amp observability
-        ok_global = all(self._disjoint_verdicts.get(t, True) for t in qterms)
+        # is diagnosable from read-amp observability. A missing memo
+        # (install skipped because a refresh raced the fetch) computes
+        # the verdict from THIS query's frame — never assume-True on
+        # an unverified frame
+        ok_global = all(
+            v if (v := self._disjoint_verdicts.get(t)) is not None
+            else _frame_disjoint(blocks[t])
+            for t in qterms
+        )
         if budget_ms is None and not taat_class and not ok_global:
             stats["global_fallbacks"] = 1
         if budget_ms is None and not taat_class and ok_global:
