@@ -47,6 +47,12 @@ def get_spark(
         # fewer IO bytes vs lz4 (measured +6% build throughput here,
         # more on bandwidth-starved clusters)
         .config("spark.io.compression.codec", "zstd")
+        # parquet at zstd too: measured (150k-doc A/B, warm) build time
+        # within noise of snappy on this memory-backed FS, but docs
+        # table bytes -37% and postings -20% — on a real cluster the
+        # table write is disk/object-store I/O and the saved bytes are
+        # the docs stage's bottleneck term
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # convert multi-value IN predicates to InSet at any length:
         # InSet keeps the value set as a codegen REFERENCE object, so
         # per-query term lists produce IDENTICAL generated source and
