@@ -187,7 +187,6 @@ class IndexReader:
         self._df_cache.clear()
         self._dead_cache.clear()
         self._dead_union_cache = None  # global-kernel liveness input
-        self._disjoint_verdicts: dict[str, bool] = {}  # per-term, set at LRU install
         # counters restart with the new index state (counters() promises
         # totals "since construction/refresh"); the epoch bump
         # invalidates every thread's thread-local last_stats
@@ -280,7 +279,8 @@ class IndexReader:
         return arr if len(arr) else None
 
     def _fetch_blocks(self, lru: OrderedDict, columns: list[str],
-                      terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
+                      terms: list[str], stats: dict | None = None,
+                      verdicts: bool = False) -> dict[str, "object"]:
         """Shared LRU-cached block fetch (BM25 and positional paths
         differ only in cache + column list): term → tid resolution via
         the terms directory, row-group-pruned read of the missing tids,
@@ -330,22 +330,28 @@ class IndexReader:
                 for tid, g in pdf.groupby("tid"):
                     t = tid2term[int(tid)]
                     g = g.reset_index(drop=True)
+                    if verdicts:
+                        # memoized global-kernel precondition, attached
+                        # to the FRAME (.attrs) rather than a term-keyed
+                        # dict: the verdict then always pairs with the
+                        # exact frame a query holds — a term-keyed memo
+                        # could pair a post-refresh verdict with a
+                        # pre-refresh frame across two racing refreshes
+                        # (review r4 finding) — and is evicted with the
+                        # frame (no unbounded per-term growth)
+                        g.attrs["disjoint"] = _frame_disjoint(g)
                     out[t] = g
                     found.add(t)
                     if fresh:
                         lru[t] = g
-                        # memoized global-kernel precondition per term:
-                        # the verdict is a pure function of the immutable
-                        # frame (cleared on refresh), so it is computed
-                        # ONCE at install instead of per query (review r4
-                        # finding)
-                        self._disjoint_verdicts[t] = _frame_disjoint(g)
                 for t in missing:
                     if t not in found:
-                        out[t] = pdf.iloc[0:0]
+                        empty = pdf.iloc[0:0]
+                        if verdicts:
+                            empty.attrs["disjoint"] = True
+                        out[t] = empty
                         if fresh:
-                            lru[t] = out[t]
-                            self._disjoint_verdicts[t] = True
+                            lru[t] = empty
                 while len(lru) > self.max_hot_terms:
                     lru.popitem(last=False)
         return out
@@ -353,7 +359,7 @@ class IndexReader:
     def _blocks(self, terms: list[str], stats: dict | None = None) -> dict[str, "object"]:
         """term → pandas blocks frame (with segment_id), LRU-cached."""
         return self._fetch_blocks(self._blocks_lru, _POSTING_COLS + ["segment_id"], terms,
-                                  stats=stats)
+                                  stats=stats, verdicts=True)
 
     def urls(self, doc_ids: list[int]) -> dict[int, str]:
         """doc_id → url via row-group-pruned docs reads (docs are
@@ -478,15 +484,16 @@ class IndexReader:
         # temporaries outgrow cache — below this posting volume the
         # global kernel wins for every query class
         taat_class = (len(counts) <= 1 or dense_min) and total >= _GLOBAL_TAAT_SPILL
-        # memoized per-term global-kernel precondition (computed once
-        # at LRU install); a violation (non-contiguous compacted merge)
+        # per-term global-kernel precondition, memoized ON each frame
+        # (.attrs, set once at fetch) so the verdict always describes
+        # the exact frame this query holds — immune to refresh races by
+        # construction. A violation (non-contiguous compacted merge)
         # falls back to the sweep and is COUNTED so the latency cliff
-        # is diagnosable from read-amp observability. A missing memo
-        # (install skipped because a refresh raced the fetch) computes
-        # the verdict from THIS query's frame — never assume-True on
-        # an unverified frame
+        # is diagnosable from read-amp observability. A frame without
+        # the memo (e.g. rescaled/derived) is verified directly — never
+        # assume-True on an unverified frame
         ok_global = all(
-            v if (v := self._disjoint_verdicts.get(t)) is not None
+            v if (v := blocks[t].attrs.get("disjoint")) is not None
             else _frame_disjoint(blocks[t])
             for t in qterms
         )
@@ -552,7 +559,7 @@ class IndexReader:
         """Direct (non-memoized) form of the global-kernel premise —
         every term's block intervals non-overlapping when sorted by
         first_doc. The hot path uses per-term verdicts memoized at LRU
-        install (_disjoint_verdicts); this form exists for tests and
+        fetch (frame .attrs["disjoint"]); this form exists for tests and
         diagnostics."""
         return all(_frame_disjoint(pdf) for pdf in blocks.values())
 

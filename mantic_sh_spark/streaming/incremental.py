@@ -38,6 +38,7 @@ def extend_index(
     index_dir: str,
     new_pages: DataFrame,
     n_new_segments: int = 4,
+    run_gc: bool = True,
 ) -> list[int]:
     """Fold new pages into an existing index as fresh segments.
     Returns the new segment ids.
@@ -52,7 +53,8 @@ def extend_index(
     from ..sources.catalog import read_or_none
 
     check_format(spark, paths)  # never append across format generations
-    gc_aborted_extends(spark, paths)  # heal any earlier crashed fold first
+    if run_gc:  # upsert_pages GCs itself (before its fingerprint diff)
+        gc_aborted_extends(spark, paths)  # heal any earlier crashed fold first
     existing_postings = read_or_none(spark, paths.postings)
     store_positions = existing_postings is not None and "positions" in existing_postings.columns
     # fresh ids must clear BOTH tables' segment dirs: docs dirs keep
@@ -214,12 +216,16 @@ def upsert_pages(
     from pyspark.sql import Window
 
     from ..operators.delete import live_docs
-    from ..operators.index_build import gc_aborted_extends
+    from ..operators.index_build import check_format, gc_aborted_extends
 
-    # heal any earlier crashed fold BEFORE the fingerprint diff: an
+    # format gate FIRST (review r4 finding: GC deletes dirs and rewrites
+    # stats — it must never run against a foreign format generation),
+    # then heal any earlier crashed fold BEFORE the fingerprint diff: an
     # orphan (uncommitted) docs row would otherwise make its url look
     # 'existing' and an identical re-sent page would be skipped as
-    # 'unchanged' — losing the page entirely
+    # 'unchanged' — losing the page entirely. extend_index below is
+    # called with run_gc=False — this is the fold's single GC pass.
+    check_format(spark, paths)
     gc_aborted_extends(spark, paths)
 
     def _latest_per_url(df: DataFrame, *order_cols) -> DataFrame:
@@ -281,7 +287,8 @@ def upsert_pages(
                 spark, index_dir, diff.filter(F.col("status") == "modified").select("doc_id")
             )
         delta = diff.filter(F.col("status") != "unchanged").select(*pages.columns)
-        out["segments"] = extend_index(spark, index_dir, delta, n_new_segments=n_new_segments)
+        out["segments"] = extend_index(spark, index_dir, delta,
+                                       n_new_segments=n_new_segments, run_gc=False)
         return out
     finally:
         diff.unpersist()
