@@ -723,8 +723,13 @@ def build_index(
         check_format(spark, paths)
         # a crashed extend's orphan docs dirs must NOT be mistaken for
         # pending fresh-build segments (they'd be folded in behind the
-        # incremental stats chain's back) — GC them first
+        # incremental stats chain's back) — GC them first; a crashed
+        # merge likewise rolls back/forward before the resume looks at
+        # segment dirs
         gc_aborted_extends(spark, paths)
+        from .merge import gc_aborted_merges
+
+        gc_aborted_merges(spark, paths)
         # recover per-segment doc counts from the manifest's docs rows
         # (absent on pre-r4 manifests → postings stage re-aggregates)
         m = read_or_none(spark, paths.manifest)

@@ -250,12 +250,12 @@ def phrase_topk(
 
     from .wand import _index_meta, _term_meta
 
-    _n, _a, _bf, dead_src = _index_meta(spark, paths)
+    _n, _a, _bf, dead_src, excluded = _index_meta(spark, paths)
     # resolve term → tid via the terms directory (posting rows carry
     # only the dictionary-encoded key); absent terms simply contribute
     # no postings — the per-segment kernel already requires every
     # phrase term present in a segment before verifying
-    meta = _term_meta(spark, paths, all_terms)
+    meta = _term_meta(spark, paths, all_terms, excluded=excluded)
     tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
     if not tid2term:
         return spark.createDataFrame([], "query_id int, doc_id long, n_matches long, rank int")
@@ -266,6 +266,9 @@ def phrase_topk(
     except ValueError:
         raise ValueError("phrase_topk requires an index built with store_positions=True")
     blocks = scan.filter(_tid_filter(list(tid2term)))
+    if excluded:
+        # in-flight/crashed fold's partial segments (manifest-derived)
+        blocks = blocks.filter(~F.col("segment_id").isin(sorted(excluded)))
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _phrase_udf(q_map, dead_src=dead_src, slop=slop, tid2term=tid2term),
         schema="query_id int, doc_id long, n_matches long",

@@ -323,10 +323,33 @@ def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
     return block_max_wand(cursors, k, dead)
 
 
+def _load_dead_union(dead_src) -> "np.ndarray | None":
+    """Union of every tombstone partition in dead_src — the liveness
+    set while a merge fold sits between its barriers (tombstone
+    ownership in flux: src partitions not yet re-homed/purged while
+    dst already serves those docs). Over-inclusive is correct: ids a
+    segment never held simply never match."""
+    import numpy as np
+
+    from .delete import segment_tombstones
+
+    arrs = [segment_tombstones(dead_src[0], s) for s in sorted(dead_src[1])]
+    arrs = [a for a in arrs if a is not None and len(a)]
+    if not arrs:
+        return None
+    return np.unique(np.concatenate(arrs))
+
+
 def _load_dead(dead_src, seg: int) -> "np.ndarray | None":
     """Per-task liveness: read THIS segment's tombstone partition iff
-    the (metadata-sized) dead_src says the segment has one."""
-    if dead_src is None or seg not in dead_src[1]:
+    the (metadata-sized) dead_src says the segment has one. dead_src's
+    optional third element (union flag, set while a merge fold sits
+    between its barriers) switches to the union of ALL partitions."""
+    if dead_src is None:
+        return None
+    if len(dead_src) > 2 and dead_src[2]:
+        return _load_dead_union(dead_src)
+    if seg not in dead_src[1]:
         return None
     from .delete import segment_tombstones
 
@@ -385,36 +408,54 @@ def _cache_key(root: str) -> str:
 
 
 def _index_meta(spark: SparkSession, paths: IndexPaths):
-    """(n_docs, avgdl, bound_factors, dead_src) — memoized. dead_src is
-    (tombstones_path, frozenset(segments-with-tombstones)) or None: the
-    liveness CLOSURE is metadata-sized; each task lazily reads only its
-    own segment's tombstone partition (delete.segment_tombstones)."""
+    """(n_docs, avgdl, bound_factors, dead_src, excluded) — memoized.
+    dead_src is (tombstones_path, frozenset(segments-with-tombstones),
+    union_flag) or None: the liveness CLOSURE is metadata-sized; each
+    task lazily reads only its own segment's tombstone partition
+    (delete.segment_tombstones) — or the union of all partitions when
+    the union flag says a merge fold sits between its barriers.
+    `excluded` is the frozenset of segments a reader must skip (an
+    in-flight/crashed fold's partial dirs — functions/liveness.py): the
+    manifest, not the partition listing, is the source of truth for
+    which segments serve."""
     cached = _META_CACHE.get(_cache_key(paths.root))
     if cached is not None:
         return cached
     stats = spark.read.parquet(paths.collection_stats).collect()[0]
     n_docs, avgdl = int(stats.n_docs), float(stats.avgdl)
     # per-segment bound inflation for avgdl drift after incremental
-    # extends; build_avgdl lives in the manifest lineage rows
+    # extends; build_avgdl + the fold-protocol rows live in the
+    # manifest lineage rows — ONE metadata-sized collect serves both
+    from ..functions.liveness import reader_exclusions
     from ..sources.catalog import read_or_none
 
     bound_factors: dict[int, float] = {}
+    excluded: frozenset = frozenset()
+    union = False
     manifest = read_or_none(spark, paths.manifest)
     if manifest is not None:
-        rows = (
-            manifest.filter(F.col("build_avgdl").isNotNull())
-            .groupBy("segment_id")
-            .agg(F.min("build_avgdl").alias("ba"))
-            .collect()
-        )
+        cols = set(manifest.columns)
+        want = ["segment_id", "build_avgdl"] + [
+            c for c in ("stage", "status", "started_at") if c in cols
+        ]
+        rows = manifest.select(*want).collect()
+        mins: dict[int, float] = {}
         for r in rows:
-            bound_factors[int(r.segment_id)] = max(1.0, avgdl / float(r.ba))
+            if r.build_avgdl is not None:
+                s = int(r.segment_id)
+                ba = float(r.build_avgdl)
+                mins[s] = ba if s not in mins else min(mins[s], ba)
+        bound_factors = {s: max(1.0, avgdl / ba) for s, ba in mins.items()}
+        if {"stage", "status", "started_at"} <= cols:
+            excluded, union = reader_exclusions(
+                (int(r.segment_id), r.stage, r.status, r.started_at) for r in rows
+            )
     from .delete import tombstone_segments
 
     dead_segs = tombstone_segments(spark, paths)
-    dead_src = (paths.tombstones, dead_segs) if dead_segs else None
+    dead_src = (paths.tombstones, dead_segs, union) if dead_segs else None
     key = _cache_key(paths.root)
-    _META_CACHE[key] = (n_docs, avgdl, bound_factors, dead_src)
+    _META_CACHE[key] = (n_docs, avgdl, bound_factors, dead_src, excluded)
     return _META_CACHE[key]
 
 
@@ -491,13 +532,18 @@ def _postings_scan(spark: SparkSession, paths: IndexPaths,
 _DF_CACHE: dict[str, dict[str, tuple[int, int]]] = {}
 
 
-def _term_meta(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict[str, tuple[int, int]]:
+def _term_meta(spark: SparkSession, paths: IndexPaths, terms: list[str],
+               excluded: frozenset = frozenset()) -> dict[str, tuple[int, int]]:
     """{term: (global df, tid)} per query term (df 0 when absent).
     Driver-side pyarrow row-group-pruned read of the (tiny, tid-sorted)
     terms directory — no Spark job on the query path; falls back to a
     Spark agg only when the driver genuinely has no direct reader for
     the storage scheme (narrow except: a real data/corruption error in
-    the terms directory must propagate, not silently reroute)."""
+    the terms directory must propagate, not silently reroute).
+    `excluded` segments (an in-flight/crashed fold's partial dirs)
+    are dropped from the df sum — their terms rows would double-count
+    df against the live sources. Cache safety: the exclusion set is
+    constant per refresh epoch and refresh_meta clears _DF_CACHE."""
     from ..functions.termhash import term_tid
 
     cache = _DF_CACHE.setdefault(_cache_key(paths.root), {})
@@ -516,21 +562,21 @@ def _term_meta(spark: SparkSession, paths: IndexPaths, terms: list[str]) -> dict
         dfs: dict[int, int] | None = None
         if ds is not None:
             try:
+                flt = ds.field("tid").isin(tids)
+                if excluded:
+                    flt = flt & ~ds.field("segment_id").isin(sorted(excluded))
                 tbl = ds.dataset(paths.terms, format="parquet", partitioning="hive").to_table(
-                    filter=ds.field("tid").isin(tids), columns=["tid", "df"]
+                    filter=flt, columns=["tid", "df"]
                 )
                 agg = tbl.to_pandas().groupby("tid")["df"].sum()
                 dfs = {int(t): int(v) for t, v in agg.items()}
             except fallback_errors:
                 dfs = None
         if dfs is None:
-            rows = (
-                spark.read.parquet(paths.terms)
-                .filter(F.col("tid").isin(tids))
-                .groupBy("tid")
-                .agg(F.sum("df").alias("df"))
-                .collect()
-            )
+            sdf = spark.read.parquet(paths.terms).filter(F.col("tid").isin(tids))
+            if excluded:
+                sdf = sdf.filter(~F.col("segment_id").isin(sorted(excluded)))
+            rows = sdf.groupBy("tid").agg(F.sum("df").alias("df")).collect()
             dfs = {int(r.tid): int(r.df) for r in rows}
         cache.update({t: (dfs.get(tid_of[t], 0), tid_of[t]) for t in missing})
     return {t: cache[t] for t in terms}
@@ -549,7 +595,7 @@ def wand_topk(
     (predicate pushdown on `term` + row-group stats from the
     sort-by-term layout)."""
     paths = IndexPaths(index_dir)
-    n_docs, avgdl, bound_factors, dead_src = _index_meta(spark, paths)
+    n_docs, avgdl, bound_factors, dead_src, excluded = _index_meta(spark, paths)
 
     q_map = {int(qid): tokenize_query(q) for qid, q in queries}
     all_terms = sorted({t for ts in q_map.values() for t in ts})
@@ -558,7 +604,7 @@ def wand_topk(
 
     # global df + tid per query term (driver-side pruned read, memoized —
     # keeps the terms-directory Spark job off the per-query path)
-    meta = _term_meta(spark, paths, all_terms)
+    meta = _term_meta(spark, paths, all_terms, excluded=excluded)
     idf_map = {t: idf_fn(n_docs, m[0]) for t, m in meta.items() if m[0] > 0}
     tid2term = {meta[t][1]: t for t in idf_map}
     if not tid2term:
@@ -571,6 +617,11 @@ def wand_topk(
     # layout); the base relation is memoized per session (file listing
     # + footer schema inference cost ~0.2 s/call — _SCAN_CACHE)
     blocks = _postings_scan(spark, paths).filter(_tid_filter(list(tid2term)))
+    if excluded:
+        # an in-flight/crashed fold's partial segments (manifest-derived,
+        # functions/liveness.py) — applied only when non-empty so the
+        # common case keeps the codegen-stable plan shape
+        blocks = blocks.filter(~F.col("segment_id").isin(sorted(excluded)))
     per_seg = blocks.groupBy("segment_id").applyInPandas(
         _wand_udf(q_map, idf_map, avgdl, k, k1, b, bound_factors,
                   dead_src=dead_src, tid2term=tid2term),

@@ -148,16 +148,33 @@ class IndexReader:
         self.n_docs, self.avgdl = int(cs["n_docs"][0]), float(cs["avgdl"][0])
 
         # per-segment WAND bound inflation under avgdl drift (same rule
-        # as operators/wand.py _index_meta)
+        # as operators/wand.py _index_meta), plus reader live-segment
+        # gating: the manifest's fold-protocol rows, not the partition
+        # listing, decide which segments serve (functions/liveness.py —
+        # an in-flight or crashed merge/extend fold's partial dirs are
+        # excluded until the fold closes or the next mutation GCs it)
         self.bound_factors: dict[int, float] = {}
-        man = self._read_optional(self.paths.manifest, ["segment_id", "build_avgdl"])
+        self._excluded_segs: frozenset = frozenset()
+        self._liveness_union = False
+        man = self._read_optional(
+            self.paths.manifest,
+            ["segment_id", "build_avgdl", "stage", "status", "started_at"],
+        )
         if man is not None:
-            pdf = man.to_pandas().dropna(subset=["build_avgdl"])
-            if len(pdf):
-                mins = pdf.groupby("segment_id")["build_avgdl"].min()
+            pdf = man.to_pandas()
+            ba = pdf.dropna(subset=["build_avgdl"])
+            if len(ba):
+                mins = ba.groupby("segment_id")["build_avgdl"].min()
                 self.bound_factors = {
                     int(s): max(1.0, self.avgdl / float(v)) for s, v in mins.items()
                 }
+            if {"stage", "status", "started_at"} <= set(pdf.columns):
+                from .functions.liveness import reader_exclusions
+
+                self._excluded_segs, self._liveness_union = reader_exclusions(
+                    zip(pdf["segment_id"], pdf["stage"], pdf["status"],
+                        pdf["started_at"].fillna(0.0))
+                )
 
         # per-SEGMENT liveness: only the metadata-sized set of segments
         # that have tombstone partitions loads at refresh; each
@@ -207,13 +224,16 @@ class IndexReader:
 
     @staticmethod
     def _read_optional(path: str, columns: list[str]):
+        """Requested columns are intersected with the file schema (a
+        pre-protocol manifest may lack newer columns)."""
         import pyarrow.dataset as ds
 
         try:
             d = ds.dataset(path, format="parquet")
         except FileNotFoundError:
             return None
-        return d.to_table(columns=columns)
+        have = set(d.schema.names)
+        return d.to_table(columns=[c for c in columns if c in have])
 
     # ---------------------------------------------------------- lookups
     def _meta(self, terms: list[str]) -> dict[str, tuple[int, int]]:
@@ -230,6 +250,7 @@ class IndexReader:
         with self._lock:
             hits = {t: self._df_cache[t] for t in terms if t in self._df_cache}
             terms_ds = self._terms
+            excl = self._excluded_segs
             epoch = self._epoch
         missing = sorted(set(terms) - hits.keys())
         got: dict[str, tuple[int, int]] = {}
@@ -241,8 +262,13 @@ class IndexReader:
             if terms_ds is None:
                 got = {t: (0, tid_of[t]) for t in missing}
             else:
+                flt = ds.field("tid").isin(sorted(tid_of.values()))
+                if excl:
+                    # an in-flight/crashed fold's partial segments would
+                    # double-count df against the live sources
+                    flt = flt & ~ds.field("segment_id").isin(sorted(excl))
                 tbl = terms_ds.to_table(
-                    filter=ds.field("tid").isin(sorted(tid_of.values())),
+                    filter=flt,
                     columns=["tid", "df"],
                 )
                 agg = tbl.to_pandas().groupby("tid")["df"].sum()
@@ -266,7 +292,20 @@ class IndexReader:
 
     def _dead(self, seg: int) -> "np.ndarray | None":
         """This segment's sorted tombstoned doc ids (None when clean) —
-        lazy per-segment read of the partitioned liveness sidecar."""
+        lazy per-segment read of the partitioned liveness sidecar.
+        While a merge fold sits between its barriers (committed, not
+        done — see _refresh_locked), tombstone ownership is in flux
+        (src partitions not yet re-homed/purged while dst already
+        serves those docs): every segment then uses the UNION of all
+        partitions, which is over-inclusive and therefore correct."""
+        if self._liveness_union:
+            return self._dead_union()
+        return self._dead_raw(seg)
+
+    def _dead_raw(self, seg: int) -> "np.ndarray | None":
+        """The per-partition read behind _dead (no union dispatch —
+        _dead_union builds FROM these, so routing it through _dead
+        would recurse)."""
         if seg not in self._dead_segs:
             return None
         with self._lock:
@@ -301,6 +340,7 @@ class IndexReader:
                 else:
                     missing.append(t)
             postings = self._postings
+            excl = self._excluded_segs
             epoch = self._epoch
         if missing:
             # the parquet fetch runs OUTSIDE the lock — a cold-term read
@@ -312,9 +352,12 @@ class IndexReader:
             meta = self._meta(missing)
             tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
             if tid2term:
-                tbl = postings.to_table(
-                    filter=ds.field("tid").isin(list(tid2term)), columns=columns
-                )
+                flt = ds.field("tid").isin(list(tid2term))
+                if excl:
+                    # gate out an in-flight/crashed fold's partial
+                    # segments (manifest-derived — see _refresh_locked)
+                    flt = flt & ~ds.field("segment_id").isin(sorted(excl))
+                tbl = postings.to_table(filter=flt, columns=columns)
                 pdf = tbl.to_pandas()
             else:
                 import pandas as pd
@@ -576,7 +619,7 @@ class IndexReader:
             epoch = self._epoch
             dead_segs = self._dead_segs
         if arr is None:
-            parts = [self._dead(s) for s in sorted(dead_segs)]
+            parts = [self._dead_raw(s) for s in sorted(dead_segs)]
             parts = [p for p in parts if p is not None]
             arr = (
                 np.sort(np.concatenate(parts))

@@ -54,7 +54,10 @@ def extend_index(
 
     check_format(spark, paths)  # never append across format generations
     if run_gc:  # upsert_pages GCs itself (before its fingerprint diff)
+        from ..operators.merge import gc_aborted_merges
+
         gc_aborted_extends(spark, paths)  # heal any earlier crashed fold first
+        gc_aborted_merges(spark, paths)
     existing_postings = read_or_none(spark, paths.postings)
     store_positions = existing_postings is not None and "positions" in existing_postings.columns
     # fresh ids must clear BOTH tables' segment dirs: docs dirs keep
@@ -69,6 +72,20 @@ def extend_index(
 
     t0 = time.time()
     cand = list(range(seg_base, seg_base + n_new_segments))
+    # drop the optional vocabulary/tier sidecars BEFORE any durable
+    # mutation: they describe the pre-fold index, and once the fold
+    # commits a stale copy silently misses the new docs/terms. Deleting
+    # them after the committing manifest append (as this fold used to)
+    # leaves a crash window where the fold is committed, the sidecars
+    # are stale, and the documented recovery (re-send the batch →
+    # 'unchanged' → early return) never deletes them (crash-sweep
+    # finding, tools/fuzz_crash.py). Deleted-but-uncommitted is always
+    # safe — both sidecars rebuild on demand.
+    from ..operators.index_build import _delete_path
+
+    _delete_path(spark, paths.term_dict)
+    _delete_path(spark, paths.tier_index)
+    _delete_path(spark, paths.tier_meta)
     # intent markers BEFORE any table mutation: a crash anywhere in
     # this fold leaves these as the latest 'started' rows, and the
     # next extend/upsert/merge/build GCs the partial fold and
@@ -173,17 +190,8 @@ def extend_index(
         + [{"segment_id": -1, "stage": "docs", "status": "done", "n_docs": n_docs_total, "started_at": t0}]
         + [{"segment_id": s, "stage": "extend", "status": "done", "started_at": t0} for s in cand],
     )
-    from ..operators.index_build import _delete_path
     from ..operators.wand import refresh_meta
 
-    # the optional (term, tid, df) vocabulary sidecar no longer covers
-    # the new segments' vocabulary — drop it; fuzzy expansion rebuilds
-    # on next use (review r3 finding: a stale dictionary silently
-    # misses post-build terms). Same staleness contract for the tier
-    # containment index (new docs would be invisible to tiers).
-    _delete_path(spark, paths.term_dict)
-    _delete_path(spark, paths.tier_index)
-    _delete_path(spark, paths.tier_meta)
     refresh_meta(index_dir)
     return segs
 
@@ -227,6 +235,9 @@ def upsert_pages(
     # called with run_gc=False — this is the fold's single GC pass.
     check_format(spark, paths)
     gc_aborted_extends(spark, paths)
+    from ..operators.merge import gc_aborted_merges
+
+    gc_aborted_merges(spark, paths)
 
     def _latest_per_url(df: DataFrame, *order_cols) -> DataFrame:
         w = Window.partitionBy("url").orderBy(*order_cols)

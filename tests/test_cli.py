@@ -81,7 +81,10 @@ def test_cli_extend_and_merge(spark, tmp_path, capsys):
     segs = ",".join(str(s) for s in ext["new_segments"])
     assert main(["merge", "--index", idx, "--segments", segs]) == 0
     merged = json.loads(capsys.readouterr().out.strip())
-    assert merged["merged_into"] == ext["new_segments"][0]
+    # crash-safe merges always fold into a FRESH segment id (above every
+    # existing docs/postings id), never in-place into a source
+    assert merged["merged_into"] not in ext["new_segments"]
+    assert merged["merged_into"] > max(ext["new_segments"])
 
     assert main(["query", "--index", idx, "--q", "w2x", "--k", "3"]) == 0
     res = json.loads(capsys.readouterr().out.strip())

@@ -162,6 +162,112 @@ def test_purge_across_compaction_generations(spark, tmp_path):
     assert normalize(by_url(idx)) == normalize(by_url(fresh))
 
 
+def _crash_fold_setup(spark, tmp_path):
+    """Shared base for the crash-protocol tests: a 3-segment index with
+    tombstones, plus a CONTROL copy on which the same purge-merge runs
+    cleanly — the healed crashed index must be indistinguishable from
+    it (by url/score and collection stats; doc ids can differ)."""
+    import shutil
+
+    from mantic_sh_spark.operators.delete import delete_docs
+
+    cfg = SynthConfig(n_docs=240, vocab_size=200, seed=53)
+    pages = gen_pages(spark, cfg, partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=3)
+    queries = gen_queries(cfg, n_queries=8)
+    victims = sorted({r.doc_id for r in wand_topk(spark, idx, queries, k=5).collect()})[:5]
+    delete_docs(spark, idx, doc_ids=victims)
+
+    ctrl = str(tmp_path / "ctrl")
+    shutil.copytree(idx, ctrl)
+    merge_segments(spark, ctrl, [0, 1], dst_segment=9, compact=True, purge=True)
+    return idx, ctrl, queries
+
+
+def _by_url(spark, idx, queries):
+    res = wand_topk(spark, idx, queries, k=8)
+    d = spark.read.parquet(f"{idx}/docs").select("doc_id", "url")
+    rows = res.join(d, "doc_id").orderBy("query_id", "rank").collect()
+    stats = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
+    return (
+        sorted((r.query_id, r.url, round(r.score, 4)) for r in rows),
+        (stats.n_docs, stats.sum_dl),
+    )
+
+
+def _crashing_append(merge_mod, monkeypatch, crash_at):
+    """Patch merge's append_manifest to raise at the crash_at-th call
+    (1=intent, 2='committed' barrier, 3='done' close)."""
+    calls = {"n": 0}
+    real = merge_mod.append_manifest
+
+    def crashing(spark_, paths_, rows):
+        calls["n"] += 1
+        if calls["n"] == crash_at:
+            raise RuntimeError("injected merge crash")
+        return real(spark_, paths_, rows)
+
+    monkeypatch.setattr(merge_mod, "append_manifest", crashing)
+
+
+def test_crashed_merge_rolls_back_before_commit(spark, tmp_path, monkeypatch):
+    """A merge that dies BEFORE its 'committed' manifest barrier (here:
+    the barrier append itself, i.e. after the dst postings/terms/norms
+    dirs are durable) must roll BACK on the next mutation's GC pass —
+    the partial dst dirs vanish, the sources are untouched, and
+    re-running the same merge completes and matches the control."""
+    import pytest
+
+    from mantic_sh_spark.operators import merge as merge_mod
+    from mantic_sh_spark.operators.index_build import _list_segments
+    from mantic_sh_spark.operators.merge import gc_aborted_merges
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    idx, ctrl, queries = _crash_fold_setup(spark, tmp_path)
+    _crashing_append(merge_mod, monkeypatch, crash_at=2)
+    with pytest.raises(RuntimeError, match="injected merge crash"):
+        merge_segments(spark, idx, [0, 1], dst_segment=9, compact=True, purge=True)
+    monkeypatch.undo()
+
+    paths = IndexPaths(idx)
+    assert 9 in _list_segments(spark, paths.postings)  # partial dst exists
+    assert gc_aborted_merges(spark, paths) == [9]
+    assert sorted(_list_segments(spark, paths.postings)) == [0, 1, 2]
+    assert gc_aborted_merges(spark, paths) == []  # terminal after heal
+
+    # documented recovery: re-run the merge → identical to control
+    merge_segments(spark, idx, [0, 1], dst_segment=9, compact=True, purge=True)
+    assert _by_url(spark, idx, queries) == _by_url(spark, ctrl, queries)
+
+
+def test_crashed_merge_rolls_forward_after_commit(spark, tmp_path, monkeypatch):
+    """A merge that dies AFTER 'committed' (here: the closing 'done'
+    append, i.e. sources retired and the purge applied) must roll
+    FORWARD: GC replays _finish_merge from the committed row's fields
+    and the index ends indistinguishable from the control."""
+    import pytest
+
+    from mantic_sh_spark.operators import merge as merge_mod
+    from mantic_sh_spark.operators.delete import tombstone_count
+    from mantic_sh_spark.operators.index_build import _list_segments
+    from mantic_sh_spark.operators.merge import gc_aborted_merges
+    from mantic_sh_spark.sources.catalog import IndexPaths
+
+    idx, ctrl, queries = _crash_fold_setup(spark, tmp_path)
+    _crashing_append(merge_mod, monkeypatch, crash_at=3)
+    with pytest.raises(RuntimeError, match="injected merge crash"):
+        merge_segments(spark, idx, [0, 1], dst_segment=9, compact=True, purge=True)
+    monkeypatch.undo()
+
+    paths = IndexPaths(idx)
+    assert gc_aborted_merges(spark, paths) == [9]
+    assert gc_aborted_merges(spark, paths) == []  # 'done' row landed
+    assert sorted(_list_segments(spark, paths.postings)) == [2, 9]
+    assert tombstone_count(spark, paths) == 0
+    assert _by_url(spark, idx, queries) == _by_url(spark, ctrl, queries)
+
+
 def test_tombstones_rehome_on_nonpurge_merge(spark, tmp_path):
     """Round-3 liveness invariant: tombstones live in the partition of
     their postings-OWNING segment. A merge WITHOUT purge moves postings
