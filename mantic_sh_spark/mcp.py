@@ -421,6 +421,11 @@ class McpServer:
                 "calls": self.n_calls,
                 **reader.counters(),
             }
+            if reader._excluded_segs:
+                # fold health: segments this reader is gating out (an
+                # in-flight or crashed extend/merge fold — heals on the
+                # next mutation's GC pass)
+                payload["gated_segments"] = sorted(reader._excluded_segs)
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],
                 "isError": False,

@@ -895,10 +895,27 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     if cs is not None:
         r = cs.collect()[0]
         out["n_docs"], out["avgdl"] = r.n_docs, r.avgdl
-    live = _list_segments(spark, paths.postings)
+    # fold health: segments readers are gating out (an in-flight or
+    # crashed extend/merge fold — heals on the next mutation's GC pass);
+    # the served-corpus numbers below exclude them, matching what
+    # queries actually see
+    excluded: frozenset = frozenset()
+    m = read_or_none(spark, paths.manifest)
+    if m is not None and {"stage", "status", "started_at"} <= set(m.columns):
+        from ..functions.liveness import reader_exclusions
+
+        excluded, _ = reader_exclusions(
+            (int(r.segment_id), r.stage, r.status, r.started_at)
+            for r in m.select("segment_id", "stage", "status", "started_at").collect()
+        )
+        if excluded:
+            out["gated_segments"] = sorted(excluded)
+    live = [s for s in _list_segments(spark, paths.postings) if s not in excluded]
     out["segments"] = len(live)
     t = read_or_none(spark, paths.terms)
     if t is not None:
+        if excluded:
+            t = t.filter(~F.col("segment_id").isin(sorted(excluded)))
         agg = t.agg(F.sum("df").alias("postings"), F.sum("bytes").alias("bytes")).collect()[0]
         out.update(postings=agg.postings, index_bytes=agg.bytes)
     return out
