@@ -106,6 +106,11 @@ def main(argv: list[str] | None = None) -> int:
     df_.add_argument("--symbol", required=True)
     df_.add_argument("--k", type=int, default=10)
 
+    hl = sub.add_parser("heal", help="roll crashed extend/merge folds back or forward "
+                        "NOW (they otherwise heal on the next mutation; readers gate "
+                        "them out either way)")
+    hl.add_argument("--index", required=True)
+
     st = sub.add_parser("stats", help="index build metrics")
     st.add_argument("--index", required=True)
 
@@ -200,6 +205,19 @@ def main(argv: list[str] | None = None) -> int:
             dst_segment=args.dst, compact=not args.no_compact, purge=not args.no_purge,
         )
         print(json.dumps({"merged_into": dst}))
+
+    elif args.cmd == "heal":
+        from .operators.index_build import check_format, gc_aborted_extends
+        from .operators.merge import gc_aborted_merges
+        from .sources.catalog import IndexPaths
+
+        spark = _spark(args)
+        paths = IndexPaths(args.index)
+        check_format(spark, paths)
+        extends = gc_aborted_extends(spark, paths)
+        merges = gc_aborted_merges(spark, paths)
+        print(json.dumps({"healed_extends": sorted(extends or []),
+                          "healed_merges": sorted(merges or [])}))
 
     elif args.cmd == "delete":
         from .operators.delete import delete_docs

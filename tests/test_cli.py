@@ -91,6 +91,50 @@ def test_cli_extend_and_merge(spark, tmp_path, capsys):
     assert len(res.get("w2x", [])) == 3
 
 
+def test_cli_heal_rolls_back_crashed_merge(spark, tmp_path, capsys, monkeypatch):
+    """`heal` runs the GC passes on demand — a serving deployment can
+    clear a crashed fold without waiting for the next mutation (readers
+    gate the partial segments out either way)."""
+    pages = str(tmp_path / "pages")
+    idx = str(tmp_path / "idx")
+    main(["synth", "--out", pages, "--n-docs", "150", "--vocab", "300"])
+    main(["build", "--pages", pages, "--index", idx, "--segments", "2"])
+    capsys.readouterr()
+
+    from mantic_sh_spark.operators import merge as merge_mod
+    from mantic_sh_spark.operators.merge import merge_segments
+
+    calls = {"n": 0}
+    real = merge_mod.append_manifest
+
+    def crashing(s, p, rows):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the 'committed' barrier append
+            raise RuntimeError("injected merge crash")
+        return real(s, p, rows)
+
+    monkeypatch.setattr(merge_mod, "append_manifest", crashing)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected merge crash"):
+        merge_segments(spark, idx, [0, 1], dst_segment=9)
+    monkeypatch.undo()
+
+    assert main(["stats", "--index", idx]) == 0
+    assert json.loads(capsys.readouterr().out.strip())["gated_segments"] == [9]
+    assert main(["heal", "--index", idx]) == 0
+    healed = json.loads(capsys.readouterr().out.strip())
+    assert healed == {"healed_extends": [], "healed_merges": [9]}
+    assert main(["stats", "--index", idx]) == 0
+    st = json.loads(capsys.readouterr().out.strip())
+    assert "gated_segments" not in st and st["segments"] == 2
+    assert main(["heal", "--index", idx]) == 0  # idempotent
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "healed_extends": [], "healed_merges": []}
+    assert main(["query", "--index", idx, "--q", "w1x", "--k", "3"]) == 0
+    assert len(json.loads(capsys.readouterr().out.strip())["w1x"]) == 3
+
+
 def test_cli_exhaustive_respects_delete(spark, tmp_path, capsys):
     """`query --engine exhaustive` must exclude tombstoned docs just
     like wand/phrase (ADVICE r1, medium)."""
