@@ -69,6 +69,23 @@ def tokens_col(text: Column | str, camel: bool = True) -> Column:
     return F.filter(F.split(F.lower(c), SPLIT_PATTERN), lambda t: t != F.lit(""))
 
 
+def token_count_col(text: Column | str, camel: bool = True) -> Column:
+    """Spark Column: token COUNT — exactly `size(tokens_col(text))`
+    without materializing the token-string array. doc_len is all the
+    docs stage needs, and building the array just to take its size
+    dominated that stage's allocation/GC (measured: the array form's
+    tokenize scaled 0.47 across separate executor JVMs vs ~1.0
+    in-thread — GC-bound on the shared memory bus;
+    bench_runs/r4_docs_stage_decomp.json). regexp_count of the token
+    alphabet over the SAME normalized string counts the non-empty
+    split runs by construction; lock-step with tokenize()/tokens_col
+    is enforced by tests/test_tokenize.py."""
+    c = F.col(text) if isinstance(text, str) else text
+    if camel:
+        c = F.regexp_replace(c, CAMEL_PATTERN, r"$1 $2")
+    return F.regexp_count(F.lower(c), F.lit("[a-z0-9]+"))
+
+
 # DuckDB fragment producing the identical token array for a column
 # expression {col}. (Documents in the oracle tables are already
 # lowercase so the camel step is the identity there; the Spark side

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.tokenize import tokens_col
+from ..functions.tokenize import token_count_col, tokens_col
 
 # Each segment owns doc ids [seg * SEG_STRIDE, seg * SEG_STRIDE + count).
 # 2^40 capacity per segment supports ~10^12 docs per segment; with up
@@ -64,7 +64,12 @@ def build_docs(
     df = df.withColumn("doc_id", F.col("segment_id").cast("long") * F.lit(SEG_STRIDE) + F.col("rn"))
     df = df.withColumn("salt", (F.col("rn") / F.lit(chunk_size)).cast("int"))
     df = df.withColumn("tokens", tokens_col("text"))
-    df = df.withColumn("doc_len", F.size("tokens"))
+    # doc_len via the count-only tokenizer form: consumers that drop
+    # `tokens` before writing (the docs stage does) then never build
+    # the token-string array at all — Catalyst prunes it, and the
+    # count form's regexp_count allocates no per-token strings
+    # (measured GC-bound across executor JVMs; functions/tokenize.py)
+    df = df.withColumn("doc_len", token_count_col("text"))
     return df.drop("rn", "html")
 
 

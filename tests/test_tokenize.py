@@ -30,6 +30,24 @@ def test_spark_matches_pure(spark):
     assert got == want
 
 
+def test_count_form_matches_array_form(spark):
+    """token_count_col (the allocation-free doc_len path) must equal
+    size(tokens_col(...)) AND len(tokenize(...)) on arbitrary input —
+    norms doc_len and the postings stage's re-derived token stream
+    come from these two forms respectively."""
+    from pyspark.sql import functions as F
+
+    from mantic_sh_spark.functions.tokenize import token_count_col
+
+    strs = _random_strings(n=80, seed=7) + ["", "  --  ", "HelloWorld", "FOOBar9x"]
+    sdf = spark.createDataFrame(pd.DataFrame({"s": strs}))
+    rows = sdf.select(
+        F.size(tokens_col("s")).alias("arr"), token_count_col("s").alias("cnt")
+    ).collect()
+    for s, r in zip(strs, rows):
+        assert r.arr == r.cnt == len(tokenize(s)), (s, r.arr, r.cnt)
+
+
 def test_duckdb_matches_pure():
     # DuckDB fragment covers the lowercase corpora (no camel step);
     # compare against pure tokenizer on already-lowercase inputs.
