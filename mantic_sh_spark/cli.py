@@ -110,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
                         "NOW (they otherwise heal on the next mutation; readers gate "
                         "them out either way)")
     hl.add_argument("--index", required=True)
+    hl.add_argument("--min-age-seconds", type=float, default=3600.0,
+                    help="only heal folds whose intent rows are at least this old — "
+                    "guards against rolling back a fold that is STILL RUNNING in "
+                    "another process (default 3600; pass 0 only when you know no "
+                    "writer is alive)")
 
     st = sub.add_parser("stats", help="index build metrics")
     st.add_argument("--index", required=True)
@@ -214,8 +219,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = _spark(args)
         paths = IndexPaths(args.index)
         check_format(spark, paths)
-        extends = gc_aborted_extends(spark, paths)
-        merges = gc_aborted_merges(spark, paths)
+        extends = gc_aborted_extends(spark, paths, min_age_s=args.min_age_seconds)
+        merges = gc_aborted_merges(spark, paths, min_age_s=args.min_age_seconds)
         print(json.dumps({"healed_extends": sorted(extends or []),
                           "healed_merges": sorted(merges or [])}))
 
@@ -257,8 +262,12 @@ def main(argv: list[str] | None = None) -> int:
                 # ALL docs — df/avgdl match the index's stale-until-
                 # purge collection stats — then drop dead ids from the
                 # RESULTS; pre-filtering the corpus would shift idf/
-                # avgdl and make the two routes rank differently
-                docs = spark.read.parquet(f"{args.index}/docs").withColumn(
+                # avgdl and make the two routes rank differently.
+                # gated_docs excludes a crashed extend's orphan docs
+                # (manifest gating — same membership as wand/phrase)
+                from .operators.index_build import gated_docs
+
+                docs = gated_docs(spark, IndexPaths(args.index)).withColumn(
                     "tokens", tokens_col("text")).withColumn("url_tokens", tokens_col("url"))
                 scores = bm25f_scores(docs, query_terms_df(spark, [(0, " ".join(plan.terms))]),
                                       fields=[("tokens", 1.0), ("url_tokens", args.url_weight)])
@@ -317,8 +326,12 @@ def main(argv: list[str] | None = None) -> int:
             # score over ALL docs (df/avgdl identical to the index's
             # stale-until-purge collection stats), then drop dead docs
             # from the RESULTS before ranking — filtering the corpus
-            # first would shift idf/avgdl and diverge from the index
-            docs = spark.read.parquet(f"{args.index}/docs").withColumn("tokens", tokens_col("text"))
+            # first would shift idf/avgdl and diverge from the index.
+            # gated_docs excludes a crashed extend's orphan docs
+            # (manifest gating — same membership as wand/phrase)
+            from .operators.index_build import gated_docs
+
+            docs = gated_docs(spark, IndexPaths(args.index)).withColumn("tokens", tokens_col("text"))
             qterms = query_terms_df(spark, queries)
             if args.engine == "bm25f":
                 # opt-in field-weighted mode: url tokens boost (R4),

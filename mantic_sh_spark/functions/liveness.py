@@ -28,8 +28,16 @@ State machine per merge fold (keyed by started_at):
 
 Extend folds: a segment whose latest extend row is 'started' (no
 closing 'done') is an uncommitted fold — its postings dir may exist
-but must not serve. The reference has no analog (no durable index to
-gate: src/brain-scorer.ts rescans per query).
+but must not serve. gc_aborted_extends closes healed folds with
+'aborted' rows, which clear the exclusion. The reference has no analog
+(no durable index to gate: src/brain-scorer.ts rescans per query).
+
+MEMBERSHIP is exact in every window (extend stats commits are deferred
+to the fold close, so scores are value-identical there too). The one
+remaining transient: a PURGE fold's post-barrier window pairs the live
+dst with pre-purge collection stats until _purge_docs_and_stats
+re-baselines at fold close — scores (not membership) can drift for
+those seconds, healing with the 'done' row or the next GC.
 """
 
 from __future__ import annotations
@@ -63,10 +71,15 @@ def reader_exclusions(
                 if f["dst"] is None:
                     f["dst"] = int(seg)
                 f["states"].add(status)
-        elif stage == "extend" and status in ("started", "done"):
+        elif stage == "extend" and status in ("started", "done", "aborted"):
+            # 'aborted' is the closing row gc_aborted_extends writes
+            # after healing a crashed fold — it MUST clear the
+            # exclusion, or the healed id stays gated forever and a
+            # later merge reusing the freed id would silently never
+            # serve (review r4 finding). Latest row wins; closing rows
+            # win the (normal) same-fold started_at tie.
             cur = extend_state.get(int(seg))
-            # latest row wins; 'done' wins the (normal) same-fold tie
-            if cur is None or so > cur[0] or (so == cur[0] and status == "done"):
+            if cur is None or so > cur[0] or (so == cur[0] and status != "started"):
                 extend_state[int(seg)] = (so, status)
     excluded: set[int] = set()
     union = False
@@ -84,3 +97,18 @@ def reader_exclusions(
         if status == "started":
             excluded.add(int(seg))
     return frozenset(excluded), union
+
+
+def docs_exclusions(rows: Iterable[Tuple[int, str, str, float]]) -> frozenset:
+    """Exclusions that apply to the DOCS table: extend folds ONLY.
+    Docs dirs never move across merges (postings/norms do), so a merge
+    fold's excluded POSTINGS sources still own live docs dirs — merge
+    exclusions must NOT filter the docs table, or the exhaustive/bm25f
+    engines and the dictionary rebuild would drop real docs during a
+    committed-not-done window."""
+    excluded, _ = reader_exclusions(
+        (seg, stage, status, started)
+        for seg, stage, status, started in rows
+        if stage == "extend"
+    )
+    return excluded

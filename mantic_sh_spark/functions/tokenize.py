@@ -27,8 +27,12 @@ from pyspark.sql import functions as F
 # CamelCase boundary: lower/digit followed by upper (reference analog:
 # src/brain-scorer.ts:146  .replace(/([a-z])([A-Z])/g, '$1 $2'))
 _CAMEL_RE = re.compile(r"([a-z0-9])([A-Z])")
-# Token alphabet after lowering: ASCII alnum runs.
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# Token alphabet after lowering: ASCII alnum runs. ONE spelling shared
+# by the pure-Python matcher, the Spark count form (token_count_col),
+# and (complemented) the split form — a fourth independent copy of the
+# alphabet is how the lock-step invariant dies.
+TOKEN_PATTERN = r"[a-z0-9]+"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
 
 # Spark-side equivalents (kept as raw pattern strings so the JVM regex
 # engine sees exactly the same patterns)
@@ -83,7 +87,7 @@ def token_count_col(text: Column | str, camel: bool = True) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     if camel:
         c = F.regexp_replace(c, CAMEL_PATTERN, r"$1 $2")
-    return F.regexp_count(F.lower(c), F.lit("[a-z0-9]+"))
+    return F.regexp_count(F.lower(c), F.lit(TOKEN_PATTERN))
 
 
 # DuckDB fragment producing the identical token array for a column

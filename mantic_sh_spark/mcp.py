@@ -421,11 +421,12 @@ class McpServer:
                 "calls": self.n_calls,
                 **reader.counters(),
             }
-            if reader._excluded_segs:
+            gated = reader.gated_segments
+            if gated:
                 # fold health: segments this reader is gating out (an
                 # in-flight or crashed extend/merge fold — heals on the
                 # next mutation's GC pass)
-                payload["gated_segments"] = sorted(reader._excluded_segs)
+                payload["gated_segments"] = gated
             return {
                 "content": [{"type": "text", "text": json.dumps(payload)}],
                 "isError": False,

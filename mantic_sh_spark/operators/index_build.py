@@ -227,7 +227,8 @@ def write_collection_stats(spark: SparkSession, paths: IndexPaths,
     return avgdl
 
 
-def gc_aborted_extends(spark: SparkSession, paths: IndexPaths) -> list[int]:
+def gc_aborted_extends(spark: SparkSession, paths: IndexPaths,
+                       min_age_s: float = 0.0) -> list[int]:
     """Garbage-collect segments left behind by a CRASHED extend/upsert
     fold, restoring the stats↔tables consistency the incremental
     (format v5) stats chain depends on.
@@ -259,7 +260,15 @@ def gc_aborted_extends(spark: SparkSession, paths: IndexPaths) -> list[int]:
         key = (r.finished_at, 0 if r.status == "started" else 1)
         if r.segment_id not in latest or key > latest[r.segment_id][0]:
             latest[r.segment_id] = (key, r.status)
-    orphans = sorted(s for s, (_, st) in latest.items() if st == "started")
+    now = time.time()
+    orphans = sorted(
+        s for s, ((fin, _flag), st) in latest.items()
+        if st == "started"
+        # min_age guards the heal CLI against rolling back a fold that
+        # is still RUNNING (mutation entry points pass 0 — the single-
+        # writer contract makes any open fold they see dead)
+        and (not min_age_s or (now - float(fin or 0)) >= min_age_s)
+    )
     if not orphans:
         return []
     for s in orphans:
@@ -267,6 +276,14 @@ def gc_aborted_extends(spark: SparkSession, paths: IndexPaths) -> list[int]:
         _delete_path(spark, f"{paths.norms}/segment_id={s}")
         _delete_path(spark, f"{paths.postings}/segment_id={s}")
         _delete_path(spark, f"{paths.terms}/segment_id={s}")
+    # a dictionary/tier sidecar rebuilt during the crash window could
+    # have been derived from the orphan docs (the rebuild gates fold-
+    # partial segments, but a pre-gating or mid-window copy may not be
+    # trustworthy once the dirs above are gone) — drop them; both
+    # rebuild on demand (review r4 finding)
+    _delete_path(spark, paths.term_dict)
+    _delete_path(spark, paths.tier_index)
+    _delete_path(spark, paths.tier_meta)
     norms = read_or_none(spark, paths.norms)
     if norms is None:
         write_collection_stats(spark, paths, 0, 0)
@@ -843,6 +860,32 @@ def build_index(
     return paths
 
 
+def gated_docs(spark: SparkSession, paths: IndexPaths):
+    """The docs table with a crashed/in-flight EXTEND fold's orphan
+    segments excluded (functions/liveness.py::docs_exclusions) — the
+    corpus every docs-table consumer (exhaustive/bm25f engines,
+    dictionary rebuild) should score, matching the index engines'
+    manifest gating. Merge exclusions deliberately do NOT apply here:
+    docs dirs never move across merges, so a fold's retired POSTINGS
+    sources still own live docs dirs (review r4 finding)."""
+    docs = spark.read.parquet(paths.docs)
+    m = read_or_none(spark, paths.manifest)
+    if m is not None and {"stage", "status", "started_at"} <= set(m.columns):
+        from ..functions.liveness import docs_exclusions
+
+        rows = (
+            m.filter(F.col("stage") == "extend")
+            .select("segment_id", "stage", "status", "started_at")
+            .collect()
+        )
+        excluded = docs_exclusions(
+            (int(r.segment_id), r.stage, r.status, r.started_at) for r in rows
+        )
+        if excluded:
+            docs = docs.filter(~F.col("segment_id").isin(sorted(excluded)))
+    return docs
+
+
 def build_term_dictionary(spark: SparkSession, index_dir: str) -> int:
     """Materialize the OPTIONAL (term, tid, df) dictionary sidecar —
     the human-readable vocabulary map that fuzzy expansion
@@ -860,7 +903,7 @@ def build_term_dictionary(spark: SparkSession, index_dir: str) -> int:
     from ..functions.tokenize import tokens_col
 
     paths = IndexPaths(index_dir)
-    docs = spark.read.parquet(paths.docs)
+    docs = gated_docs(spark, paths)
     vocab = (
         docs.select(F.explode(F.array_distinct(tokens_col("text"))).alias("term"))
         .groupBy("term")

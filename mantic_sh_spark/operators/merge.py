@@ -254,7 +254,8 @@ def _finish_merge(spark, paths, srcs: list[int], dst: int, started: float,
     refresh_meta(paths.root)
 
 
-def gc_aborted_merges(spark: SparkSession, paths: IndexPaths) -> list[int]:
+def gc_aborted_merges(spark: SparkSession, paths: IndexPaths,
+                      min_age_s: float = 0.0) -> list[int]:
     """Heal crashed merge folds (called before every mutation, like
     gc_aborted_extends). merge_segments' protocol: intent rows
     {dst 'started' + per-src 'src'} land before any durable mutation;
@@ -290,6 +291,13 @@ def gc_aborted_merges(spark: SparkSession, paths: IndexPaths) -> list[int]:
         # legacy pre-protocol folds have only 'done'/'merged' rows —
         # no 'started' → terminal by construction
         if "started" not in st or "done" in st or "aborted" in st:
+            continue
+        if min_age_s and (time.time() - f["started"]) < min_age_s:
+            # possibly still RUNNING, not crashed — the heal CLI's
+            # guard: rolling back a live fold's dst mid-write would
+            # have the writer commit over half-deleted dirs. Mutation
+            # entry points pass 0 (single-writer contract: any open
+            # fold they see is dead by definition).
             continue
         dst = f["dst"]
         if "committed" in st:

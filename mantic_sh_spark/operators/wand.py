@@ -323,38 +323,33 @@ def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
     return block_max_wand(cursors, k, dead)
 
 
-def _load_dead_union(dead_src) -> "np.ndarray | None":
-    """Union of every tombstone partition in dead_src — the liveness
-    set while a merge fold sits between its barriers (tombstone
-    ownership in flux: src partitions not yet re-homed/purged while
-    dst already serves those docs). Over-inclusive is correct: ids a
-    segment never held simply never match."""
-    import numpy as np
-
-    from .delete import segment_tombstones
-
-    arrs = [segment_tombstones(dead_src[0], s) for s in sorted(dead_src[1])]
-    arrs = [a for a in arrs if a is not None and len(a)]
-    if not arrs:
-        return None
-    return np.unique(np.concatenate(arrs))
-
-
 def _load_dead(dead_src, seg: int) -> "np.ndarray | None":
     """Per-task liveness: read THIS segment's tombstone partition iff
     the (metadata-sized) dead_src says the segment has one. dead_src's
-    optional third element (union flag, set while a merge fold sits
-    between its barriers) switches to the union of ALL partitions."""
+    optional third element is the set of IN-FLUX partitions — a merge
+    fold between its barriers has retired its sources without yet
+    re-homing/purging their tombstones, so the fold's dst serves docs
+    whose tombstones still sit under the src partitions. Every task
+    then reads its own partition PLUS the in-flux ones (bounded by the
+    fold, never all segments — review r4 finding); over-inclusion is
+    correct, ids a segment never held simply never match."""
     if dead_src is None:
         return None
-    if len(dead_src) > 2 and dead_src[2]:
-        return _load_dead_union(dead_src)
-    if seg not in dead_src[1]:
+    influx = dead_src[2] if len(dead_src) > 2 else frozenset()
+    want = sorted(({int(seg)} | set(influx)) & set(dead_src[1]))
+    if not want:
         return None
     from .delete import segment_tombstones
 
-    arr = segment_tombstones(dead_src[0], seg)
-    return arr if len(arr) else None
+    arrs = [segment_tombstones(dead_src[0], s) for s in want]
+    arrs = [a for a in arrs if a is not None and len(a)]
+    if not arrs:
+        return None
+    if len(arrs) == 1:
+        return arrs[0]
+    import numpy as np
+
+    return np.unique(np.concatenate(arrs))
 
 
 def _wand_udf(queries: dict[int, list[str]], idf_map: dict[str, float],
@@ -410,10 +405,10 @@ def _cache_key(root: str) -> str:
 def _index_meta(spark: SparkSession, paths: IndexPaths):
     """(n_docs, avgdl, bound_factors, dead_src, excluded) — memoized.
     dead_src is (tombstones_path, frozenset(segments-with-tombstones),
-    union_flag) or None: the liveness CLOSURE is metadata-sized; each
-    task lazily reads only its own segment's tombstone partition
-    (delete.segment_tombstones) — or the union of all partitions when
-    the union flag says a merge fold sits between its barriers.
+    in_flux_partitions) or None: the liveness CLOSURE is metadata-
+    sized; each task lazily reads its own segment's tombstone partition
+    (delete.segment_tombstones) plus the fold-bounded in-flux ones when
+    a merge fold sits between its barriers.
     `excluded` is the frozenset of segments a reader must skip (an
     in-flight/crashed fold's partial dirs — functions/liveness.py): the
     manifest, not the partition listing, is the source of truth for
@@ -453,7 +448,11 @@ def _index_meta(spark: SparkSession, paths: IndexPaths):
     from .delete import tombstone_segments
 
     dead_segs = tombstone_segments(spark, paths)
-    dead_src = (paths.tombstones, dead_segs, union) if dead_segs else None
+    # in-flux partitions: a committed-not-done fold's excluded sources
+    # whose tombstones haven't re-homed/purged yet (bounded by the
+    # fold; empty in steady state)
+    influx = frozenset(excluded) & set(dead_segs) if union else frozenset()
+    dead_src = (paths.tombstones, dead_segs, influx) if dead_segs else None
     key = _cache_key(paths.root)
     _META_CACHE[key] = (n_docs, avgdl, bound_factors, dead_src, excluded)
     return _META_CACHE[key]

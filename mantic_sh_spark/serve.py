@@ -119,6 +119,15 @@ class IndexReader:
         self._tls.truncated = bool(value)
 
     @property
+    def gated_segments(self) -> list:
+        """Fold-partial segments this reader is excluding (manifest-
+        derived, functions/liveness.py) — the public fold-health
+        surface (MCP index_stats reports it). Sorted; empty when no
+        fold is in flight or pending GC."""
+        with self._lock:
+            return sorted(self._excluded_segs)
+
+    @property
     def last_stats(self) -> dict:
         """Read-amp counters of THIS thread's last query — thread-local
         (like `truncated`) so a concurrent serve_loop's inline

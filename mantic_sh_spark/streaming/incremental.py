@@ -152,9 +152,15 @@ def extend_index(
         )
         n_new, sum_dl_new = int(d.n_new or 0), int(d.sum_dl_new or 0)
     n_docs_total = int(old.n_docs) + n_new
-    avgdl_new = write_collection_stats(
-        spark, paths, n_docs_total, int(old.sum_dl) + sum_dl_new
-    )
+    sum_dl_total = int(old.sum_dl) + sum_dl_new
+    # the VALUE feeds the postings encode now; the DURABLE stats commit
+    # is deferred to the fold close below. Until then the on-disk stats
+    # describe the pre-fold corpus — exactly the view manifest-gated
+    # readers serve during the fold (and after a crash, until GC), so
+    # scores never mix post-fold n_docs/avgdl with the pre-fold segment
+    # set (review r4 finding). Same double-division as
+    # write_collection_stats → bit-identical avgdl.
+    avgdl_new = (float(sum_dl_total) / float(n_docs_total)) if n_docs_total else 0.0
 
     from ..functions.tokenize import tokens_col
 
@@ -178,6 +184,11 @@ def extend_index(
         if n_docs_by_seg is not None
         else []
     )
+    # deferred stats commit (see above): lands right before the closing
+    # append, shrinking the stats-vs-gating inconsistency window from
+    # the whole postings build to microseconds; a crash in that sliver
+    # still heals (gc re-baselines from norms)
+    write_collection_stats(spark, paths, n_docs_total, sum_dl_total)
     # ONE manifest append for postings rows + per-segment docs rows +
     # the docs completion marker + the extend intents' closing rows
     # (each append is a commit — batching them is both cheaper and

@@ -122,13 +122,16 @@ def test_cli_heal_rolls_back_crashed_merge(spark, tmp_path, capsys, monkeypatch)
 
     assert main(["stats", "--index", idx]) == 0
     assert json.loads(capsys.readouterr().out.strip())["gated_segments"] == [9]
-    assert main(["heal", "--index", idx]) == 0
+    assert main(["heal", "--index", idx]) == 0  # default min-age skips the fresh fold
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "healed_extends": [], "healed_merges": []}
+    assert main(["heal", "--index", idx, "--min-age-seconds", "0"]) == 0
     healed = json.loads(capsys.readouterr().out.strip())
     assert healed == {"healed_extends": [], "healed_merges": [9]}
     assert main(["stats", "--index", idx]) == 0
     st = json.loads(capsys.readouterr().out.strip())
     assert "gated_segments" not in st and st["segments"] == 2
-    assert main(["heal", "--index", idx]) == 0  # idempotent
+    assert main(["heal", "--index", idx, "--min-age-seconds", "0"]) == 0  # idempotent
     assert json.loads(capsys.readouterr().out.strip()) == {
         "healed_extends": [], "healed_merges": []}
     assert main(["query", "--index", idx, "--q", "w1x", "--k", "3"]) == 0

@@ -310,9 +310,12 @@ def test_crashed_extend_gc_heals_stats_and_corpus(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="injected postings crash"):
         extend_index(spark, idx, extra, n_new_segments=2)
     monkeypatch.setattr(inc, "build_postings_for_segments", real)
-    # the crash left the stats chain drifted (fold counted, not committed)
+    # the stats commit is DEFERRED to the fold close (review r4), so a
+    # crash mid-fold leaves the on-disk stats describing the pre-fold
+    # corpus — consistent with the segment set manifest-gated readers
+    # serve in the crash window
     drifted = spark.read.parquet(f"{idx}/collection_stats").collect()[0]
-    assert drifted.n_docs == base_stats.n_docs + 100
+    assert (drifted.n_docs, drifted.sum_dl) == (base_stats.n_docs, base_stats.sum_dl)
 
     segs = extend_index(spark, idx, extra, n_new_segments=2)  # retry heals first
     assert segs

@@ -39,6 +39,18 @@ def test_reader_exclusions_pure():
     assert reader_exclusions(
         [(4, "extend", "started", 7.0), (4, "extend", "done", 7.0)]
     ) == (frozenset(), False)
+    # gc_aborted_extends' closing row (stamped at GC time, later than
+    # the fold's t0) must clear the exclusion — and a merge that later
+    # reuses the freed id must serve (review r4 finding: the healed id
+    # stayed excluded forever)
+    healed = [(4, "extend", "started", 7.0), (4, "extend", "aborted", 9.0)]
+    assert reader_exclusions(healed) == (frozenset(), False)
+    reused = healed + [(4, "merge", "started", 11.0), (0, "merge", "src", 11.0),
+                       (4, "merge", "committed", 11.0), (4, "merge", "done", 11.0)]
+    assert reader_exclusions(reused) == (frozenset(), False)
+    # a NEW extend fold on the healed id gates again while running
+    assert reader_exclusions(healed + [(4, "extend", "started", 12.0)]) == (
+        frozenset({4}), False)
     # legacy pre-protocol fold: only 'done'/'merged' rows → terminal
     assert reader_exclusions([(5, "merge", "done", 3.0)]) == (frozenset(), False)
 
@@ -100,6 +112,68 @@ def test_readers_exclude_inflight_merge_dst(spark, tmp_path, monkeypatch):
     refresh_meta(idx)  # simulate a fresh process (drop memoized meta)
     assert _wand(spark, idx, queries) == before
     assert _serve(idx, cfg, qtexts) == serve_before
+
+
+def test_readers_exclude_crashed_extend_segments(spark, tmp_path, monkeypatch):
+    """Crash an extend AFTER every table write (docs, norms, postings,
+    terms) but BEFORE its closing manifest append: the new segments'
+    dirs all exist, yet fresh readers must serve the exact pre-fold
+    view — value-identical scores too, because the stats commit is
+    deferred to the fold close. gc_aborted_extends' 'aborted' closing
+    row must then CLEAR the exclusion (review r4 finding: the healed id
+    stayed gated forever, silently hiding a later fold reusing it)."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    import mantic_sh_spark.streaming.incremental as inc
+    from mantic_sh_spark.operators.index_build import gc_aborted_extends
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    idx, queries, cfg = _setup(spark, tmp_path)
+    refresh_meta(idx)
+    before = _wand(spark, idx, queries)
+    qtexts = [q for _, q in queries][:4]
+    serve_before = _serve(idx, cfg, qtexts)
+
+    extra = gen_pages(spark, replace(cfg, seed=99, n_docs=80, needle_every=0), partitions=2
+                      ).withColumn("url", F.regexp_replace("url", "example/", "example/g2/"))
+    # crash at the DEFERRED stats commit — i.e. after every table write
+    # (docs, norms, postings, terms) but with the on-disk stats still
+    # describing the pre-fold corpus, which is the state for the whole
+    # fold duration minus the final milliseconds
+    from mantic_sh_spark.operators import index_build as ib
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected extend crash")
+
+    monkeypatch.setattr(ib, "write_collection_stats", boom)
+    with pytest.raises(RuntimeError, match="injected extend crash"):
+        extend_index(spark, idx, extra, n_new_segments=2)
+    monkeypatch.undo()
+
+    import os
+
+    paths = IndexPaths(idx)
+    orphan_segs = [3, 4]
+    assert all(os.path.isdir(f"{idx}/postings/segment_id={s}") for s in orphan_segs)
+    refresh_meta(idx)
+    assert _wand(spark, idx, queries) == before
+    assert _serve(idx, cfg, qtexts) == serve_before
+
+    # heal → 'aborted' closing rows → exclusion cleared, dirs gone
+    assert gc_aborted_extends(spark, paths) == orphan_segs
+    refresh_meta(idx)
+    from mantic_sh_spark.operators.wand import _index_meta
+
+    assert _index_meta(spark, paths)[4] == frozenset()
+    assert _wand(spark, idx, queries) == before
+    # the retried fold completes and serves the new docs
+    segs = extend_index(spark, idx, extra, n_new_segments=2)
+    assert segs
+    refresh_meta(idx)
+    assert _index_meta(spark, paths)[4] == frozenset()
 
 
 def test_readers_serve_committed_fold_via_union_liveness(spark, tmp_path, monkeypatch):
