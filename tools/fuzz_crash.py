@@ -292,10 +292,32 @@ class MergeFullSegPurge(Scenario):
         merge_segments(spark, idx, [0, 1], dst_segment=100, purge=True)
 
 
+class MergeNoPurge(Scenario):
+    """Merge WITHOUT purge over segments that own live tombstones: the
+    fold's post-barrier work is the _rehome_tombstones path (stage →
+    append under dst → delete src partitions → delete stage), whose
+    recovery contract — a replay can only re-append staged ids, never
+    lose them — is otherwise untested under faults."""
+
+    name = "merge_no_purge"
+
+    def base(self, spark, idx):
+        super().base(spark, idx)
+        pages = _pages(spark, 400, seed=123)
+        doomed = [r.url for r in pages.limit(30).select("url").collect()]
+        delete_docs(spark, idx, urls=doomed)
+
+    def mutate(self, spark, idx):
+        merge_segments(spark, idx, [0, 1], dst_segment=100, purge=False)
+
+    def heal(self, spark, idx):
+        merge_segments(spark, idx, [0, 1], dst_segment=100, purge=False)
+
+
 SCENARIOS = {
     s.name: s
     for s in (UpsertAdd(), UpsertMod(), Resume(), Merge(),
-              MergeEmptyPurge(), MergeFullSegPurge())
+              MergeEmptyPurge(), MergeFullSegPurge(), MergeNoPurge())
 }
 
 
