@@ -480,13 +480,25 @@ class IndexReader:
         already fetched → a purged doc resurfaces). The retry
         linearizes the answer to the post-refresh state for direct
         library/MCP embedders; serve_loop additionally drains before
-        refreshing."""
+        refreshing.
+
+        A reader whose index was mutated by ANOTHER process self-heals:
+        its dataset handles may list segment files a merge has since
+        retired, so the read raises — refresh() rebuilds the handles
+        (and the manifest gating) and the query retries once before
+        propagating (a genuine I/O error must not loop)."""
         t0 = time.time()
-        for _ in range(2):
+        for attempt in range(3):
             epoch0 = self._epoch
             stats = {"segments_touched": 0, "blocks_considered": 0,
                      "blocks_decoded": 0, "terms_cold": 0}
-            hits = self._topk_attempt(query, k, budget_ms, stats, t0)
+            try:
+                hits = self._topk_attempt(query, k, budget_ms, stats, t0)
+            except OSError:
+                if attempt:
+                    raise
+                self.refresh()
+                continue
             if self._epoch == epoch0:
                 break
         self._record_stats(stats, t0)
@@ -700,13 +712,20 @@ class IndexReader:
         (same per-segment kernel; phrase stays per-segment by design:
         verification decodes every candidate block, so there is nothing
         a global run could prune and the sliced decode is the
-        cache-friendly form). Same straddling-refresh retry as topk."""
+        cache-friendly form). Same straddling-refresh retry and
+        external-mutation self-heal as topk."""
         t0 = time.time()
-        for _ in range(2):
+        for attempt in range(3):
             epoch0 = self._epoch
             stats = {"segments_touched": 0, "blocks_considered": 0,
                      "blocks_decoded": 0, "terms_cold": 0}
-            hits = self._phrase_attempt(phrase, k, slop, stats)
+            try:
+                hits = self._phrase_attempt(phrase, k, slop, stats)
+            except OSError:
+                if attempt:
+                    raise
+                self.refresh()
+                continue
             if self._epoch == epoch0:
                 break
         self._record_stats(stats, t0)

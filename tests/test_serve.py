@@ -489,6 +489,36 @@ def test_snippets(spark, small_corpus):
     assert all("snippet" in r for r in resp["results"])
 
 
+def test_stale_reader_self_heals_across_external_merge(spark, tmp_path):
+    """A long-lived reader whose index is compacted by ANOTHER process
+    holds dataset handles that still list the retired segment files;
+    the next cold read raises. topk must self-heal — refresh() + one
+    retry — and answer from the post-merge index instead of propagating
+    the I/O error (refresh-contract automation for serving
+    deployments)."""
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    pages = gen_pages(spark, SynthConfig(n_docs=240, vocab_size=250, seed=23),
+                      partitions=3)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=3)
+
+    stale = IndexReader(idx)  # holds pre-merge dataset handles
+    epoch0 = stale._epoch
+    # the "other process": retire ALL source segments under the reader
+    merge_segments(spark, idx, [0, 1, 2], dst_segment=9, compact=True)
+
+    fresh = IndexReader(idx)
+    for q in ("w1x", "w1x w2x", "w0x w3x"):
+        assert stale.topk(q, k=8) == fresh.topk(q, k=8), q
+    assert stale._epoch > epoch0, "self-heal must have refreshed the reader"
+    assert sorted(
+        {int(s) for pdf in stale._blocks(["w1x"]).values() for s in pdf["segment_id"]}
+    ) == [9]
+
+
 def test_global_kernel_matches_segment_sweep(spark, tmp_path):
     """The unbudgeted serving path runs ONE global WAND kernel over all
     segments (bound factors pre-scaled into block maxima, union
