@@ -299,6 +299,24 @@ class IndexReader:
         """Global document frequency per term (lazy, cached)."""
         return {t: m[0] for t, m in self._meta(terms).items()}
 
+    def _self_heal(self, attempt_fn):
+        """Run attempt_fn(); on an I/O error from dataset handles an
+        EXTERNAL mutation invalidated (a merge retired segment files
+        the handle still lists), refresh() and retry once — same
+        contract as topk's inline form (which also folds in the
+        straddling-refresh epoch retry). If the refresh itself fails,
+        the ORIGINAL error propagates (e.g. a deliberate
+        missing-sidecar FileNotFoundError on a bogus path must not be
+        masked by the refresh's own failure)."""
+        try:
+            return attempt_fn()
+        except OSError as first:
+            try:
+                self.refresh()
+            except OSError:
+                raise first
+            return attempt_fn()
+
     def _dead(self, seg: int) -> "np.ndarray | None":
         """This segment's sorted tombstoned doc ids (None when clean) —
         lazy per-segment read of the partitioned liveness sidecar.
@@ -809,6 +827,9 @@ class IndexReader:
         return specs
 
     def tiered_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
+        return self._self_heal(lambda: self._tiered_topk_impl(query, k))
+
+    def _tiered_topk_impl(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
         """[(doc_id, tier, score)] — the R1 tier ladder SERVED from the
         materialized tier containment index (operators/tiers.py;
         reference "exact title match wins", src/brain-scorer.ts:226-253)
@@ -900,6 +921,10 @@ class IndexReader:
 
     def references(self, symbol: str, k: int = 10,
                    max_positions: int = 100) -> list[dict]:
+        return self._self_heal(lambda: self._references_impl(symbol, k, max_positions))
+
+    def _references_impl(self, symbol: str, k: int = 10,
+                         max_positions: int = 100) -> list[dict]:
         """Where does `symbol` occur — [(doc_id, url, n_matches, token
         positions)] ranked by occurrence count, served from positional
         postings with no Spark job (the reference's `find_references`
@@ -950,6 +975,9 @@ class IndexReader:
                     "type", "const", "fn", "var", "let")
 
     def definitions(self, symbol: str, k: int = 10) -> list[dict]:
+        return self._self_heal(lambda: self._definitions_impl(symbol, k))
+
+    def _definitions_impl(self, symbol: str, k: int = 10) -> list[dict]:
         """Where is `symbol` DEFINED — [(url, keyword, position)] ranked
         (keyword priority, position asc, doc_id asc): the serving form
         of the reference's `get_definition` MCP tool
