@@ -48,10 +48,14 @@ def build_tier_index(
     pruned probes, under tier_index/field=<i>_<name>; the ordered spec
     list persists in tier_index_meta. Returns the number of fields."""
     from ..functions.tokenize import tokens_col
-    from .index_build import _delete_path, tid_col
+    from .index_build import _delete_path, gated_docs, tid_col
 
     paths = IndexPaths(index_dir)
-    docs = spark.read.parquet(paths.docs)
+    # gated_docs, not the raw docs table: a crashed/in-flight extend
+    # fold's orphan segments must not bake into tier membership, or
+    # tiered_topk would surface docs every other reader path gates out
+    # (same rule as build_term_dictionary).
+    docs = gated_docs(spark, paths)
     _delete_path(spark, paths.tier_index)
     _delete_path(spark, paths.tier_meta)
     for i, (name, source, window) in enumerate(specs):

@@ -171,14 +171,37 @@ def write_small_parquet(spark: SparkSession, path: str, pdf, spark_schema: str) 
         ).parquet(path)
         return
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
-    info = fsys.get_file_info(fspath)
-    if info.type == pafs.FileType.Directory:
-        fsys.delete_dir(fspath)
-    elif info.type == pafs.FileType.File:
-        fsys.delete_file(fspath)
-    fsys.create_dir(fspath, recursive=True)
-    with fsys.open_output_stream(fspath.rstrip("/") + "/part-00000.parquet") as out:
+    # Atomic swap, not delete-then-write: this path runs on every
+    # extend/upsert fold close, and a crash between a delete and the
+    # re-write would leave collection_stats / the format marker absent
+    # (every reader raises until the next mutation's GC). Write the new
+    # file dot-prefixed (invisible to Spark AND pyarrow dataset
+    # discovery, both ignore '.'/'_' prefixes), then rename over the
+    # final name — POSIX rename replaces atomically, so a reader always
+    # sees exactly the old or the new one-row file.
+    base = fspath.rstrip("/")
+    info = fsys.get_file_info(base)
+    if info.type == pafs.FileType.File:
+        fsys.delete_file(base)  # pre-dir legacy layout; one-time
+        info = fsys.get_file_info(base)
+    if info.type == pafs.FileType.NotFound:
+        fsys.create_dir(base, recursive=True)
+    final = base + "/part-00000.parquet"
+    tmp = base + "/.part-00000.parquet.tmp"
+    with fsys.open_output_stream(tmp) as out:
         pq.write_table(tbl, out)
+    fsys.move(tmp, final)
+    # A legacy Spark-written dir may hold differently-named part files
+    # (+ _SUCCESS); clear them AFTER the new file is durable. The
+    # brief two-file window only exists once, transitioning off the
+    # old layout — never on the steady-state fold-close path.
+    from pyarrow.fs import FileSelector
+
+    for fi in fsys.get_file_info(FileSelector(base)):
+        name = fi.path.rsplit("/", 1)[-1]
+        if fi.type == pafs.FileType.File and name != "part-00000.parquet" \
+                and not name.startswith((".", "_")):
+            fsys.delete_file(fi.path)
 
 
 def read_manifest(spark: SparkSession, paths: IndexPaths) -> DataFrame:

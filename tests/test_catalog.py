@@ -113,3 +113,60 @@ def test_iceberg_tables_contract():
     assert t.read("docs") is None
     assert t.read("tombstones") == "<df:ice.search.idx_tombstones>"
     assert ("table", "ice.search.idx_tombstones") in fs.log
+
+
+def test_write_small_parquet_atomic_swap(spark, tmp_path):
+    """The fold-close one-row commit must never leave the table absent:
+    a write lands dot-prefixed (invisible) then renames over the final
+    name, so a reader always sees exactly the old or the new file."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mantic_sh_spark.sources.catalog import write_small_parquet
+
+    path = str(tmp_path / "collection_stats")
+    write_small_parquet(
+        spark, path, pd.DataFrame({"n_docs": pd.array([10], dtype="int64")}),
+        "n_docs long")
+    visible = [f for f in os.listdir(path) if not f.startswith((".", "_"))]
+    assert visible == ["part-00000.parquet"]
+    # overwrite swaps in place: still one visible file, new value, both
+    # reader stacks (Spark + pyarrow — serve.py reads via pq.read_table)
+    write_small_parquet(
+        spark, path, pd.DataFrame({"n_docs": pd.array([20], dtype="int64")}),
+        "n_docs long")
+    assert [r.n_docs for r in spark.read.parquet(path).collect()] == [20]
+    assert pq.read_table(path).to_pydict()["n_docs"] == [20]
+    visible = [f for f in os.listdir(path) if not f.startswith((".", "_"))]
+    assert visible == ["part-00000.parquet"]
+    # a stale tmp from a crash-before-rename is invisible to readers
+    # and harmlessly overwritten by the next commit
+    open(os.path.join(path, ".part-00000.parquet.tmp"), "wb").write(b"junk")
+    assert pq.read_table(path).to_pydict()["n_docs"] == [20]
+    write_small_parquet(
+        spark, path, pd.DataFrame({"n_docs": pd.array([30], dtype="int64")}),
+        "n_docs long")
+    assert pq.read_table(path).to_pydict()["n_docs"] == [30]
+
+
+def test_write_small_parquet_converges_legacy_spark_dir(spark, tmp_path):
+    """A dir left by the old Spark-overwrite layout (uuid part names +
+    _SUCCESS) converges to the single-file layout; the legacy parts are
+    cleared only AFTER the new file is durable."""
+    import os
+
+    import pandas as pd
+
+    from mantic_sh_spark.sources.catalog import write_small_parquet
+
+    path = str(tmp_path / "format_version")
+    spark.createDataFrame(
+        pd.DataFrame({"v": pd.array([4], dtype="int32")}), "v int"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    write_small_parquet(
+        spark, path, pd.DataFrame({"v": pd.array([5], dtype="int32")}), "v int")
+    assert [r.v for r in spark.read.parquet(path).collect()] == [5]
+    visible = [f for f in os.listdir(path) if not f.startswith((".", "_"))]
+    assert visible == ["part-00000.parquet"]

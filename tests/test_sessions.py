@@ -153,3 +153,38 @@ def test_sessions_are_spark_scannable(spark, small_corpus):
     log_dir = store._dir(sid)
     boost = session_doc_boost(spark, log_dir).collect()
     assert boost and all(r.hits >= 1 for r in boost)
+
+
+def test_boost_liveness_survives_tombstone_rehome(spark, tmp_path):
+    """ADVICE r4: tombstones are hive-partitioned by the POSTINGS-OWNING
+    segment. After a non-purge merge re-homes them under the dst
+    segment, deriving the partition from doc_id // SEG_STRIDE finds
+    nothing — a deleted-then-viewed doc must still stay out of the
+    session-boosted top-k."""
+    from mantic_sh_spark.operators.delete import delete_docs
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.operators.merge import merge_segments
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    pages = gen_pages(spark, SynthConfig(n_docs=120, vocab_size=150, seed=5),
+                      partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    reader = IndexReader(idx)
+    srv = McpServer(idx, reader=reader)
+    sid = _call(srv, "session_start", {})["session_id"]
+
+    plain = _call(srv, "search_files", {"query": "w1x", "maxResults": 5})["results"]
+    victim = plain[0]
+    _call(srv, "session_record_view",
+          {"sessionId": sid, "views": [{"doc_id": victim["doc_id"]}] * 5})
+    delete_docs(spark, idx, doc_ids=[victim["doc_id"]])
+    # non-purge merge: postings move to a fresh dst segment and the
+    # victim's tombstone is re-homed under it — doc_id // SEG_STRIDE
+    # now names a partition that no longer exists
+    merge_segments(spark, idx, [0, 1], compact=True, purge=False)
+    reader.refresh()
+    assert reader._dead_segs, "re-homed tombstone partition expected"
+    boosted = _call(srv, "search_files", {"query": "w1x", "maxResults": 5,
+                                          "sessionId": sid})["results"]
+    assert all(r["doc_id"] != victim["doc_id"] for r in boosted)

@@ -121,3 +121,47 @@ def test_tier_index_invalidated_by_mutation(spark, tmp_path):
         .orderBy("rank").collect()
     ]
     assert IndexReader(idx).tiered_topk("w1x w2x", k=8) == want
+
+
+def test_tier_index_gates_crashed_extend_fold(spark, tmp_path, monkeypatch):
+    """A tier index built while a crashed extend fold awaits GC must NOT
+    bake the fold's orphan docs into tier membership (ADVICE r4): tier
+    matches outrank every final-tier hit, so an orphan that tier-matches
+    would surface even though every gated reader path excludes it.
+    build_tier_index must read gated_docs, like build_term_dictionary."""
+    from mantic_sh_spark.operators import index_build as ib
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    cfg = SynthConfig(n_docs=80, vocab_size=100, seed=7)
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_tier_index(spark, idx)
+    before = IndexReader(idx).tiered_topk("w1x w2x", k=8)
+
+    # crash the fold at the deferred stats commit: every table dir
+    # (docs included) exists, but the closing manifest row never lands.
+    # The fold's docs carry a term NO base doc has, at title position 1
+    # — the sharpest probe for orphan tier membership.
+    extra = gen_pages(spark, SynthConfig(n_docs=40, vocab_size=100, seed=9),
+                      partitions=1
+                      ).withColumn("text", F.concat(F.lit("zzzorphan "),
+                                                    F.col("text")))
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected extend crash")
+
+    monkeypatch.setattr(ib, "write_collection_stats", boom)
+    with pytest.raises(RuntimeError, match="injected extend crash"):
+        extend_index(spark, idx, extra, n_new_segments=1)
+    monkeypatch.undo()
+    assert os.path.isdir(f"{idx}/docs/segment_id=2")  # orphan docs exist
+
+    # rebuilding the tier index mid-crash must reproduce the gated view:
+    # no orphan doc tier-matches, and the shared-vocab ladder is stable
+    build_tier_index(spark, idx)
+    reader = IndexReader(idx)
+    assert reader.tiered_topk("zzzorphan", k=8) == []
+    assert reader.tiered_topk("w1x w2x", k=8) == before
