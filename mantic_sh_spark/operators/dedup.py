@@ -14,6 +14,11 @@ Scale notes (the part that matters at 100 TB):
   * n-gram Jaccard here is the VERIFICATION stage run on LSH candidate
     pairs (bounded), or on explicitly bounded subsets for tests; never
     run the all-pairs form on a full corpus.
+  * duplication skew: near_dup_pairs collapses exact duplicates to one
+    representative BEFORE banding (web corpora are ~30% exact dups — a
+    10⁷-doc identical cluster would otherwise emit ~5×10¹³ band-join
+    rows), and caps residual band-bucket width with a counted drop
+    surfaced by lsh_bucket_audit.
 
 The md5→bigint hash family is chosen for cross-engine reproducibility:
 DuckDB computes the identical values ('0x'||substr(md5(..),1,15))::BIGINT,
@@ -46,6 +51,20 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).cast("long").alias("n_dupes"))
         .select("doc_id", "n_dupes")
     )
+
+
+def exact_clusters(docs: DataFrame) -> DataFrame:
+    """(doc_id, rep_id, cluster_size): exact-duplicate clusters keyed by
+    md5(text); representative = min doc_id (the same keeper rule as
+    exact_dedup). Two map-side-combinable shuffles on the 16-byte hash
+    key — never a doc-count window or a collect_list that would
+    materialize a 10⁷-member cluster on one task."""
+    h = docs.select(F.md5("text").alias("h"), "doc_id")
+    reps = h.groupBy("h").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )
+    return h.join(reps, "h").select("doc_id", "rep_id", "cluster_size")
 
 
 def hash64(col: F.Column, salt: F.Column | str) -> F.Column:
@@ -92,10 +111,57 @@ def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, n_hashes: int = N_HASHES, band_size: int = BAND_SIZE) -> DataFrame:
-    """(a, b) candidate near-dup pairs (a < b): equi-join on band keys —
-    the scale path that replaces the O(n²) comparison."""
+def _capped_bands(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Band rows annotated with bucket width and, when max_bucket is
+    set, restricted to buckets of width ≤ max_bucket. One count-only
+    window (no sort frame) — a single shuffle on the band key."""
+    from pyspark.sql import Window
+
+    if max_bucket is None:
+        return bands
+    w = Window.partitionBy("band", "band_key")
+    return (
+        bands.withColumn("width", F.count(F.lit(1)).over(w))
+        .filter(F.col("width") <= int(max_bucket))
+        .drop("width")
+    )
+
+
+def lsh_bucket_audit(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """(band, band_key, width) of the band buckets a max_bucket cap
+    DROPS from lsh_candidate_pairs — the counted, surfaced audit of
+    what the skew guard skipped. A capped bucket is a pathological
+    near-identical cluster: at width d it would emit d(d-1)/2 candidate
+    pairs per band, so the pipeline drops it and reports it here
+    instead of silently attempting the quadratic join."""
     bands = lsh_bands(minhash_signatures(docs, n_hashes), band_size)
+    return (
+        bands.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("width"))
+        .filter(F.col("width") > int(max_bucket))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """(a, b) candidate near-dup pairs (a < b): equi-join on band keys —
+    the scale path that replaces the O(n²) comparison. max_bucket caps
+    the width of any one band bucket (a bucket of d docs self-joins to
+    d(d-1)/2 pairs — one mega-bucket of near-identical docs is the
+    remaining quadratic hazard once exact duplicates are collapsed);
+    capped buckets are dropped from the join and surfaced by
+    lsh_bucket_audit. None (the oracle-checked default) keeps the
+    uncapped semantics."""
+    bands = _capped_bands(lsh_bands(minhash_signatures(docs, n_hashes), band_size), max_bucket)
     l = bands.select(F.col("band").alias("band_l"), F.col("band_key").alias("key_l"), F.col("doc_id").alias("a"))
     r = bands.select(F.col("band").alias("band_r"), F.col("band_key").alias("key_r"), F.col("doc_id").alias("b"))
     pairs = l.join(
@@ -149,11 +215,45 @@ def jaccard_pairs(shingles: DataFrame, threshold: float, candidates: DataFrame |
     return out.select("a", "b", "jac")
 
 
-def near_dup_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """End-to-end near-dup: MinHash → LSH bands → candidate pairs →
-    exact-Jaccard verification (the standard two-stage pipeline)."""
-    cands = lsh_candidate_pairs(docs)
-    return jaccard_pairs(doc_terms(docs).withColumnRenamed("term", "shingle"), threshold, candidates=cands)
+def near_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+    collapse_exact: bool = True,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """End-to-end near-dup: exact-duplicate collapse → MinHash → LSH
+    bands → candidate pairs → exact-Jaccard verification.
+
+    Duplication-skew safety (the 100-TB design constraint — web corpora
+    run ~30% exact duplicates): with collapse_exact (default), docs
+    first collapse to one representative per distinct text
+    (exact_clusters), so a cluster of d identical docs contributes ONE
+    row to banding instead of d(d-1)/2 candidate pairs per band — at
+    d=10⁷ the uncollapsed form is ~5×10¹³ rows from a single cluster.
+    Output pairs are therefore between cluster REPRESENTATIVES; every
+    member inherits its representative's near-dup relations through
+    exact_clusters (the member-pair expansion is left to the consumer
+    precisely because it is quadratic in cluster size — the exact-dup
+    relation itself is already fully described by (doc_id, rep_id)).
+
+    max_bucket then caps the residual hazard — near-identical but not
+    byte-identical mega-clusters sharing a band key; capped buckets are
+    dropped with the counted audit in lsh_bucket_audit (run it with the
+    same parameters to see what was skipped). collapse_exact=False +
+    max_bucket=None recovers the historical all-member semantics for
+    bounded inputs."""
+    base = docs
+    if collapse_exact:
+        reps = (
+            exact_clusters(docs)
+            .filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id")
+        )
+        base = docs.join(reps, "doc_id")
+    cands = lsh_candidate_pairs(base, n_hashes, band_size, max_bucket=max_bucket)
+    return jaccard_pairs(doc_terms(base).withColumnRenamed("term", "shingle"), threshold, candidates=cands)
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

@@ -681,6 +681,49 @@ FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.d
 """
 
 
+def q_exact_clusters(spark, sf_dir):
+    """Exact-duplicate cluster assignment (doc_id, rep_id,
+    cluster_size) — the collapse step near_dup_pairs runs before LSH
+    banding so an identical-doc mega-cluster contributes one
+    representative row instead of d(d-1)/2 candidate pairs per band."""
+    return dedup.exact_clusters(_docs(spark, sf_dir))
+
+
+SQL_EXACT_CLUSTERS = """
+WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+reps AS (SELECT h, min(doc_id) AS rep_id, count(*)::BIGINT AS cluster_size
+         FROM h GROUP BY h)
+SELECT doc_id, rep_id, cluster_size FROM h JOIN reps USING (h)
+"""
+
+
+def q_lsh_pairs_capped(spark, sf_dir):
+    """LSH candidates with the duplication-skew bucket cap: band
+    buckets wider than max_bucket are dropped from the candidate join
+    (their width is surfaced by dedup.lsh_bucket_audit)."""
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir), n_hashes=8, band_size=4,
+                                     max_bucket=16)
+
+
+SQL_LSH_PAIRS_CAPPED = f"""
+WITH terms AS (SELECT DISTINCT doc_id, unnest({TOK}) AS term FROM documents),
+sigs AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS sig_id),
+mh AS (SELECT doc_id, sig_id,
+       min(CAST(('0x' || substr(md5(term || '#' || sig_id), 1, 15)) AS BIGINT)) AS minhash
+       FROM terms CROSS JOIN sigs GROUP BY doc_id, sig_id),
+bands AS (SELECT doc_id, sig_id // 4 AS band,
+          md5(string_agg(minhash::VARCHAR, ',' ORDER BY sig_id)) AS band_key
+          FROM mh GROUP BY doc_id, band),
+capped AS (SELECT * FROM (
+  SELECT doc_id, band, band_key,
+         count(*) OVER (PARTITION BY band, band_key) AS width FROM bands)
+  WHERE width <= 16)
+SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+FROM capped l JOIN capped r
+  ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+"""
+
+
 def q_jaccard_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir).filter(F.col("doc_id") < 150)
     sh = dedup.doc_terms(d).withColumnRenamed("term", "shingle")
@@ -1189,6 +1232,8 @@ REGISTRY: dict[str, tuple] = {
     "minhash_sig": (q_minhash_sig, SQL_MINHASH_SIG),
     "simhash16": (q_simhash, SQL_SIMHASH),
     "lsh_pairs": (q_lsh_pairs, SQL_LSH_PAIRS),
+    "exact_clusters": (q_exact_clusters, SQL_EXACT_CLUSTERS),
+    "lsh_pairs_capped": (q_lsh_pairs_capped, SQL_LSH_PAIRS_CAPPED),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD_PAIRS),
     "shingles_sample": (q_shingles_sample, SQL_SHINGLES_SAMPLE),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

