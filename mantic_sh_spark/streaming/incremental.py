@@ -39,6 +39,7 @@ def extend_index(
     new_pages: DataFrame,
     n_new_segments: int = 4,
     run_gc: bool = True,
+    verify_tids: bool = True,
 ) -> list[int]:
     """Fold new pages into an existing index as fresh segments.
     Returns the new segment ids.
@@ -165,6 +166,13 @@ def extend_index(
     from ..functions.tokenize import tokens_col
 
     batch = all_docs.filter(F.col("segment_id") >= seg_base).withColumn("tokens", tokens_col("text"))
+    if verify_tids:
+        # fold-local xxhash64 collision gate (same opt-out as
+        # build_index; see index_build.verify_tid_uniqueness for the
+        # collision-budget math) — runs BEFORE any posting is encoded
+        from ..operators.index_build import verify_tid_uniqueness
+
+        verify_tid_uniqueness(spark, batch)
     if n_docs_by_seg is not None:
         segs = [s for s in cand if n_docs_by_seg[s] > 0]
     else:

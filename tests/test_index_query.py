@@ -371,3 +371,64 @@ def test_failed_docs_commit_poisons_postings_commits(spark, small_corpus, tmp_pa
     sb = spark.read.parquet(f"{clean}/collection_stats").collect()[0]
     assert (sa.n_docs, sa.sum_dl, sa.avgdl) == (sb.n_docs, sb.sum_dl, sb.avgdl)
     assert spark.read.parquet(f"{idx}/norms").count() == sa.n_docs
+
+
+def test_tid_collision_gate_fails_loudly(spark, small_corpus, tmp_path, monkeypatch):
+    """verify_tid_uniqueness (default-on) must abort a build whose hash
+    collides BEFORE any posting is written, and name colliding terms;
+    verify_tids=False opts out (VERDICT r4 #2)."""
+    import mantic_sh_spark.operators.index_build as ib
+
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=4)
+
+    def colliding_tid(term):
+        col = term if isinstance(term, F.Column) else F.col(term)
+        return F.xxhash64(F.substring(col, 1, 1))  # all terms sharing a first char collide
+
+    monkeypatch.setattr(ib, "tid_col", colliding_tid)
+    idx = str(tmp_path / "idx")
+    with pytest.raises(RuntimeError, match="collision"):
+        build_index(spark, pages, idx, n_segments=2)
+    # gate fired before the encode: no postings directory exists
+    from mantic_sh_spark.sources.catalog import IndexPaths, read_or_none
+
+    assert read_or_none(spark, IndexPaths(idx).postings) is None
+
+    # opt-out path completes (the index is hash-degenerate but that is
+    # the caller's explicit choice)
+    out = str(tmp_path / "optout")
+    build_index(spark, pages, out, n_segments=2, verify_tids=False)
+    assert read_or_none(spark, IndexPaths(out).postings) is not None
+
+
+def test_tid_collision_gate_on_extend(spark, small_corpus, tmp_path, monkeypatch):
+    """The same gate guards extend folds; the aborted fold is a normal
+    crashed-extend (intent rows open) that the next mutation GCs."""
+    import mantic_sh_spark.operators.index_build as ib
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.streaming.incremental import extend_index
+
+    cfg = small_corpus["cfg"]
+    pages = gen_pages(spark, cfg, partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+
+    more = gen_pages(spark, SynthConfig(n_docs=80, vocab_size=300, seed=7), partitions=2)
+    more = more.withColumn("url", F.concat(F.lit("x-"), F.col("url")))
+
+    def colliding_tid(term):
+        col = term if isinstance(term, F.Column) else F.col(term)
+        return F.xxhash64(F.substring(col, 1, 1))
+
+    monkeypatch.setattr(ib, "tid_col", colliding_tid)
+    with pytest.raises(RuntimeError, match="collision"):
+        extend_index(spark, idx, more, n_new_segments=1)
+    monkeypatch.undo()
+    # aborted fold heals on the next mutation; the retried extend lands
+    segs = extend_index(spark, idx, more, n_new_segments=1)
+    assert segs
+    from mantic_sh_spark.operators.index_build import index_stats
+
+    st = index_stats(spark, idx)
+    assert st["n_docs"] == cfg.n_docs + 80
