@@ -57,6 +57,18 @@ _POSTING_COLS = ["tid", "first_doc", "last_doc", "block_max", "n",
 # while per-segment slices stay cache-resident (topk strategy split).
 _GLOBAL_TAAT_SPILL = 2_000_000
 
+# Tombstone-count bound on the global-kernel liveness union: above this
+# many total tombstone rows the reader refuses to materialize
+# _dead_union (8 B/id resident per replica, ~2x transiently during the
+# concatenate+sort) and routes global-kernel-eligible queries to the
+# per-segment sweep, whose liveness input is ONE segment's array at a
+# time. 8M ids = 64 MB union — a sane replica budget; a heavily-churned
+# index past it should purge-merge, which resets the count to zero.
+# The in-flux merge window (_liveness_union) keeps the union regardless:
+# the sweep's own liveness is the union there, so falling back saves
+# nothing and the window is fold-bounded.
+_DEAD_UNION_CAP = 8_000_000
+
 
 def _frame_disjoint(pdf) -> bool:
     """Global-kernel precondition for ONE term's blocks frame: sorted
@@ -192,6 +204,7 @@ class IndexReader:
         # array exists anywhere in the reader.
         self._dead_segs: frozenset[int] = frozenset()
         self._dead_cache: dict[int, np.ndarray] = {}
+        self._dead_total = 0  # total tombstone rows (union-cap input)
         t = self._dataset_or_none(self.paths.tombstones)
         # a purge deletes every tombstone PARTITION but leaves the root
         # dir: the dataset then exists with a column-less schema — treat
@@ -201,6 +214,7 @@ class IndexReader:
 
             segs = t.to_table(columns=["segment_id"]).column("segment_id")
             self._dead_segs = frozenset(int(s) for s in pc.unique(segs).to_pylist())
+            self._dead_total = len(segs)
 
         # an empty-corpus index commits only collection_stats + manifest
         # (no postings/terms/docs dirs) — serve it as empty, not a crash
@@ -220,7 +234,8 @@ class IndexReader:
         self._epoch += 1
         self.totals = {"queries": 0, "segments_touched": 0,
                        "blocks_considered": 0, "blocks_decoded": 0,
-                       "terms_cold": 0, "global_fallbacks": 0}
+                       "terms_cold": 0, "global_fallbacks": 0,
+                       "dead_union_fallbacks": 0}
 
     @staticmethod
     def _dataset_or_none(path: str):
@@ -581,7 +596,16 @@ class IndexReader:
         )
         if budget_ms is None and not taat_class and not ok_global:
             stats["global_fallbacks"] = 1
-        if budget_ms is None and not taat_class and ok_global:
+        # union-cap route (what's-wrong r4 #2): a heavily-churned index
+        # can hold ~1e9 live tombstones between purge-merges — the
+        # global kernel's sorted union would be an 8 GB resident array
+        # per replica. Above the cap the sweep serves instead (its
+        # liveness touches one segment's array at a time); COUNTED so
+        # the latency shift is diagnosable from read-amp counters.
+        dead_ok = self._dead_total <= _DEAD_UNION_CAP or self._liveness_union
+        if budget_ms is None and not taat_class and ok_global and not dead_ok:
+            stats["dead_union_fallbacks"] = 1
+        if budget_ms is None and not taat_class and ok_global and dead_ok:
             # ONE GLOBAL kernel run over every segment's blocks:
             # segments own disjoint ascending doc-id ranges, so the
             # per-term multi-segment frames are valid posting lists
@@ -682,7 +706,8 @@ class IndexReader:
             self._last_shared = stats
             self.totals["queries"] += 1
             for key in ("segments_touched", "blocks_considered",
-                        "blocks_decoded", "terms_cold", "global_fallbacks"):
+                        "blocks_decoded", "terms_cold", "global_fallbacks",
+                        "dead_union_fallbacks"):
                 self.totals[key] += stats.get(key, 0)
 
     def counters(self) -> dict:

@@ -647,3 +647,63 @@ def test_global_kernel_noncontiguous_merge_falls_back(spark, tmp_path, monkeypat
             .orderBy("rank").collect()
         ]
         assert reader.topk(q, k=8) == ex, q
+
+
+def test_dead_union_cap_routes_to_sweep(spark, small_corpus, tmp_path, monkeypatch):
+    """Above _DEAD_UNION_CAP total tombstones the reader must NOT
+    materialize the global dead-id union (what's-wrong r4 #2: ~1e9 live
+    tombstones would be an 8 GB resident array per replica) — global-
+    kernel-eligible queries take the per-segment sweep, the fallback is
+    counted, and ranks stay identical to the union form."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import mantic_sh_spark.serve as serve_mod
+    from mantic_sh_spark.operators.delete import delete_docs
+
+    idx = str(tmp_path / "idx_cap")
+    shutil.copytree(small_corpus["index_dir"], idx)
+
+    reader = IndexReader(idx)
+    q = "w1x w3x"
+    victim = reader.topk(q, k=5)[0][0]
+    delete_docs(spark, idx, doc_ids=[victim])
+    reader.refresh()
+    want = reader.topk(q, k=10)
+    assert victim not in {d for d, _ in want}
+    # sanity: with the real (tiny) tombstone count the query went global
+    # and built the union
+    assert reader.last_stats.get("dead_union_fallbacks") is None
+    assert reader._dead_union_cache is not None
+
+    # inject ~1e7 synthetic tombstones into segment 0's partition —
+    # doc ids far past the real docs, so membership is unchanged and
+    # rank identity is attributable to the routing alone
+    n_fake = 10_000_000
+    fake = np.arange(n_fake, dtype=np.int64) + 500_000
+    import os
+
+    os.makedirs(f"{idx}/tombstones/segment_id=0", exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": fake}),
+        f"{idx}/tombstones/segment_id=0/synthetic-churn.parquet",
+    )
+    reader.refresh()
+    assert reader._dead_total >= n_fake
+    got = reader.topk(q, k=10)
+    assert got == want, "swept form must be rank-identical to the union form"
+    assert reader.last_stats.get("dead_union_fallbacks") == 1
+    assert reader._dead_union_cache is None, \
+        "the union must never materialize above the cap"
+    assert reader.counters()["total"]["dead_union_fallbacks"] >= 1
+
+    # lift the cap: the union form at the same tombstone state agrees
+    monkeypatch.setattr(serve_mod, "_DEAD_UNION_CAP", 10**12)
+    reader.refresh()
+    got_union = reader.topk(q, k=10)
+    assert got_union == want
+    assert reader.last_stats.get("dead_union_fallbacks") is None
+    assert reader._dead_union_cache is not None
