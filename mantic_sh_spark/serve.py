@@ -999,6 +999,19 @@ class IndexReader:
     DEF_KEYWORDS = ("def", "class", "function", "interface", "struct",
                     "type", "const", "fn", "var", "let")
 
+    # assignment-style definitions have no LEADING keyword (`X =
+    # function(...)`, `X = async () => {}`, `X = lambda:`, `X = new
+    # Foo()`, `X = require(...)`) — the reference's tree-sitter walk
+    # catches these (src/code-intel.ts:154-332). The tokenizer erases
+    # the `=`, so their tokenized signature is the SYMBOL immediately
+    # followed by a definition-introducing token: one phrase probe
+    # [*symbol-tokens, trailer] per trailer. (A bare arrow `X = (a) =>
+    # b` leaves no token at all to anchor on — out of reach without
+    # punctuation in the index; `async` arrows and every listed form
+    # are covered.) Reported as keyword "=<trailer>", ranked below all
+    # leading-keyword forms.
+    DEF_TRAILERS = ("function", "async", "lambda", "new", "require")
+
     def definitions(self, symbol: str, k: int = 10) -> list[dict]:
         return self._self_heal(lambda: self._definitions_impl(symbol, k))
 
@@ -1006,11 +1019,14 @@ class IndexReader:
         """Where is `symbol` DEFINED — [(url, keyword, position)] ranked
         (keyword priority, position asc, doc_id asc): the serving form
         of the reference's `get_definition` MCP tool
-        (src/mcp-server.ts:763-847). Each definition keyword is one
-        phrase probe [kw, *symbol-tokens] over positional postings; the
-        reported position is the SYMBOL's token position (kw position
-        + 1). Returns at most one hit per (doc, keyword) — the first
-        occurrence, like a goto-definition target."""
+        (src/mcp-server.ts:763-847). Each definition form is one phrase
+        probe over positional postings: leading-keyword forms
+        [kw, *symbol-tokens] (`def X` / `class X` / …) and
+        assignment-style trailer forms [*symbol-tokens, trailer]
+        (`X = function` / `X = async () =>` / `X = lambda` — see
+        DEF_TRAILERS). The reported position is always the SYMBOL's
+        token position. Returns at most one hit per (doc, form) — the
+        first occurrence, like a goto-definition target."""
         from .functions.tokenize import tokenize
         from .operators.phrase import segment_phrase_positions
 
@@ -1030,42 +1046,49 @@ class IndexReader:
         # and an absent keyword need not be fetched — without this the
         # head-term keywords' (large) positional postings would be read
         # and LRU-cached even for typo symbols (review r4 finding)
-        dfs = self.df(sorted(set(list(self.DEF_KEYWORDS) + sym)))
+        dfs = self.df(sorted(set(self.DEF_KEYWORDS) | set(self.DEF_TRAILERS) | set(sym)))
         if any(dfs[t] == 0 for t in sym):
             self._record_stats(stats, t0)
             return []
         kws = [kw for kw in self.DEF_KEYWORDS if dfs[kw] > 0]
-        if not kws:
+        tws = [tw for tw in self.DEF_TRAILERS if dfs[tw] > 0]
+        if not kws and not tws:
             self._record_stats(stats, t0)
             return []
-        per_seg = self._pos_blocks_by_segment(sorted(set(kws + sym)), stats)
-        hits: list[tuple[int, int, int]] = []  # (kw_rank, pos, doc)
+        # (form_rank, label, phrase, symbol-position offset within the
+        # phrase): leading-keyword probes rank above every trailer probe
+        forms = [(ki, kw, [kw] + sym, 1) for ki, kw in enumerate(self.DEF_KEYWORDS)
+                 if kw in set(kws)]
+        forms += [(len(self.DEF_KEYWORDS) + ti, f"={tw}", sym + [tw], 0)
+                  for ti, tw in enumerate(self.DEF_TRAILERS) if tw in set(tws)]
+        labels = {rank: label for rank, label, _, _ in forms}
+        per_seg = self._pos_blocks_by_segment(sorted(set(kws + tws + sym)), stats)
+        hits: list[tuple[int, int, int]] = []  # (form_rank, pos, doc)
         for seg, by_term in per_seg.items():
             if not all(t in by_term for t in sym):
                 continue  # symbol absent from this segment — no decode
-            seg_kws = [kw for kw in kws if kw in by_term]
-            if not seg_kws:
+            seg_forms = [f for f in forms if all(t in by_term for t in f[2])]
+            if not seg_forms:
                 continue
             stats["segments_touched"] += 1
-            # one decode per (segment, term) shared across the keyword
-            # probes (decoded_cache), so the accounting is exact
+            # one decode per (segment, term) shared across the probes
+            # (decoded_cache), so the accounting is exact
             stats["blocks_decoded"] += sum(
-                len(by_term[t]) for t in set(seg_kws + sym))
+                len(by_term[t])
+                for t in {t for f in seg_forms for t in f[2]} | set(sym))
             dead = self._dead(seg)
             cache: dict = {}
-            for ki, kw in enumerate(self.DEF_KEYWORDS):
-                if kw not in by_term:
-                    continue
+            for rank, _, phrase, sym_off in seg_forms:
                 for doc, pos in segment_phrase_positions(
-                        by_term, [kw] + sym, dead, decoded_cache=cache):
-                    hits.append((ki, int(pos[0]) + 1, doc))
+                        by_term, phrase, dead, decoded_cache=cache):
+                    hits.append((rank, int(pos[0]) + sym_off, doc))
         hits.sort()
         url_map = self.urls([d for _, _, d in hits[:k]])
         self._record_stats(stats, t0)
         return [
             {"doc_id": d, "url": url_map.get(d),
-             "keyword": self.DEF_KEYWORDS[ki], "position": p}
-            for ki, p, d in hits[:k]
+             "keyword": labels[rank], "position": p}
+            for rank, p, d in hits[:k]
         ]
 
     def search(self, query: str, k: int = 10, with_urls: bool = False,

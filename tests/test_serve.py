@@ -707,3 +707,50 @@ def test_dead_union_cap_routes_to_sweep(spark, small_corpus, tmp_path, monkeypat
     assert got_union == want
     assert reader.last_stats.get("dead_union_fallbacks") is None
     assert reader._dead_union_cache is not None
+
+
+def test_get_definition_assignment_forms(spark, tmp_path):
+    """Assignment-style definitions have no leading keyword (VERDICT r4
+    #7, reference src/code-intel.ts:154-332): `X = function`,
+    `X = async () =>`, `X = lambda` must be found via symbol-first
+    trailer probes, ranked below every leading-keyword form, with the
+    position on the SYMBOL."""
+    import pandas as pd
+
+    from mantic_sh_spark.operators.index_build import build_index
+
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://ex.com/a{i}" for i in range(5)],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * 5),
+        "html": [b""] * 5,
+        "text": [
+            "export parseHtml = function (s) { return s }",
+            "parseHtml = async () => { await fetchIt() }",
+            "makeToken = lambda s: s.strip()",
+            "calls parseHtml here and parseHtml there only",
+            "def parseHtml means the keyword form still wins",
+        ],
+        "lang": ["en"] * 5,
+    }))
+    idx = str(tmp_path / "defidx2")
+    build_index(spark, pages, idx, n_segments=1, store_positions=True)
+    reader = IndexReader(idx)
+
+    defs = reader.definitions("parseHtml", k=10)
+    by_url = {d["url"]: d for d in defs}
+    # keyword form first, then assignment forms; pure references absent
+    assert [d["url"] for d in defs] == [
+        "https://ex.com/a4",   # def parseHtml
+        "https://ex.com/a0",   # parseHtml = function
+        "https://ex.com/a1",   # parseHtml = async () =>
+    ]
+    assert defs[0]["keyword"] == "def"
+    assert by_url["https://ex.com/a0"]["keyword"] == "=function"
+    assert by_url["https://ex.com/a1"]["keyword"] == "=async"
+    # a0 tokens: [export, parse, html, function, s, ...] → symbol at 1
+    assert by_url["https://ex.com/a0"]["position"] == 1
+    assert by_url["https://ex.com/a1"]["position"] == 0
+
+    lam = reader.definitions("makeToken", k=10)
+    assert [d["keyword"] for d in lam] == ["=lambda"]
+    assert lam[0]["url"] == "https://ex.com/a2"
