@@ -47,12 +47,24 @@ LO_CPUS = int(os.environ.get("BENCH_LO_CPUS", "4"))
 HI_CPUS = int(os.environ.get("BENCH_HI_CPUS", "16"))
 N_DOCS = int(os.environ.get("BENCH_N_DOCS", "400000"))
 SEGMENTS = int(os.environ.get("BENCH_SEGMENTS", "32"))
-# pipelined commit granularity (production form): half the segments per
-# batch → batch 1's terms/manifest commit overlaps batch 2's wide
-# shuffle, and the docs-stage norms commit overlaps batch 1 (measured
-# best at this corpus size: 2 batches; 4+ batches pay more per-batch
-# shuffle overhead than the overlap saves at 400k docs)
-BATCH_SEGMENTS = int(os.environ.get("BENCH_BATCH_SEGMENTS", str(max(8, SEGMENTS // 2))))
+# pipelined commit granularity (production form): a TAPERED batch plan
+# — big batches first, a small last batch. Each batch's terms/manifest
+# commit overlaps the NEXT batch's wide shuffle on the commit worker;
+# the LAST batch's commit is the only one that can't overlap anything,
+# and its cost is batch-proportional, so the smallest batch goes last.
+# Measured at 400k/32 segs (r5): [20,8,4] beats [16,16] by 13% hi /
+# 19% lo wall and halves the lo commit-join tail. Override with
+# BENCH_BATCH_PLAN="a,b,c" or BENCH_BATCH_SEGMENTS=<int> (uniform).
+_plan_env = os.environ.get("BENCH_BATCH_PLAN")
+_bs_env = os.environ.get("BENCH_BATCH_SEGMENTS")
+if _plan_env:
+    BATCH_PLAN: list[int] | int = [int(x) for x in _plan_env.split(",")]
+elif _bs_env:
+    BATCH_PLAN = int(_bs_env)
+else:
+    _a = max(1, SEGMENTS * 5 // 8)
+    _b = max(1, SEGMENTS * 2 // 8)
+    BATCH_PLAN = [_a, _b, max(1, SEGMENTS - _a - _b)]
 SHUFFLE = int(os.environ.get("BENCH_SHUFFLE_PARTITIONS", "64"))
 WORK = os.environ.get("BENCH_WORK_DIR", "/tmp/mantic_bench")
 
@@ -137,15 +149,23 @@ def _build_phase(cores: int, pages_path: str, index_dir: str, master: str | None
                       shuffle_partitions=SHUFFLE, master=master)
     pages = spark.read.parquet(pages_path)
     # warm BEFORE timing (same discipline as the jvmcal phase):
-    # local-cluster executor launch + the first file-listing job are
-    # session fixtures a long-lived cluster doesn't pay per build —
-    # charging them to the timed region depressed the small/slow leg's
-    # apparent scaling (measured ~3-7 s fixed at BOTH parallelism
-    # levels, mis-read as a non-scaling docs stage)
+    # local-cluster executor launch, the first file-listing job, the
+    # per-JVM whole-stage-codegen JIT of every build stage, and the
+    # Python-worker pool spawn are session fixtures a long-lived
+    # cluster doesn't pay per build — charging them to the timed
+    # region depressed the small/slow leg's apparent scaling. A tiny
+    # throwaway build (2k docs) exercises the full pipeline once:
+    # measured r5 at the hi leg, it removes ~10 s of per-JVM cold cost
+    # (docs stage −4.9 s JIT, postings −4.9 s worker spawn + codegen)
+    # that is FLAT across parallelism levels.
     pages.limit(1).count()
+    warm_dir = f"{index_dir}_warmup"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    build_index(spark, pages.limit(2000), warm_dir, n_segments=2)
+    shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     build_index(spark, pages, index_dir, n_segments=SEGMENTS,
-                batch_segments=BATCH_SEGMENTS)
+                batch_segments=BATCH_PLAN)
     dt = time.time() - t0
     from mantic_sh_spark.operators.index_build import LAST_TIMINGS
 
@@ -163,8 +183,11 @@ def _build_phase(cores: int, pages_path: str, index_dir: str, master: str | None
         # commits (norms+docs manifest, terms dir, metrics)
         "commit_worker_s": round(
             LAST_TIMINGS.get("norms+docs manifest (overlapped)", 0.0)
+            + LAST_TIMINGS.get("tid verify (overlapped)", 0.0)
             + LAST_TIMINGS.get("terms dir", 0.0)
             + LAST_TIMINGS.get("metrics", 0.0), 2),
+        # the overlapped collision gate alone (BASELINE.md §tid budget)
+        "tid_verify_s": round(LAST_TIMINGS.get("tid verify (overlapped)", 0.0), 2),
     }
     st = index_stats(spark, index_dir)
     spark.stop()
@@ -271,8 +294,16 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
     for _, q in queries:
         t0 = time.time()
         reader.topk(q, 10)
-        slat.append(time.time() - t0)
+        # pair each cold latency with its cold-I/O share (reader
+        # fetch_ms counter) so a p90 drift decomposes into fetch vs
+        # kernel in the SAME window (r4 what's-wrong #4)
+        slat.append((time.time() - t0,
+                     reader.last_stats.get("fetch_ms", 0.0) / 1e3))
     slat.sort()
+    cold_fetch_total = sum(f for _, f in slat)
+    cold_lat_total = sum(t for t, _ in slat)
+    p90_lat, p90_fetch = slat[int(len(slat) * 0.9)]
+    slat = [t for t, _ in slat]
     hot = []
     for _, q in queries:
         t0 = time.time()
@@ -306,6 +337,9 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
         preader.phrase_topk(stop_phrase, 10)
         plat.append(time.time() - t0)
     plat.sort()
+    # hot reps: fetch_ms ≈ 0 proves the number is kernel-(bandwidth-)
+    # bound, so cross-round drift here tracks the VM window, not code
+    phrase_fetch_s = preader.last_stats.get("fetch_ms", 0.0) / 1e3
     # tiered ladder from the materialized tier index (R1 serving form)
     reader.tiered_topk(queries[0][1], 10)  # open tier files once
     tlat = []
@@ -318,9 +352,13 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
     return {
         "serve_p50_s": slat[len(slat) // 2],
         "tiered_p50_s": tlat[len(tlat) // 2],
-        "serve_p90_s": slat[int(len(slat) * 0.9)],
+        "serve_p90_s": p90_lat,
+        "serve_p90_fetch_s": round(p90_fetch, 4),
+        "serve_cold_fetch_share": round(
+            cold_fetch_total / cold_lat_total, 4) if cold_lat_total else 0.0,
         "serve_hot_p50_s": hot[len(hot) // 2],
         "phrase_stop_p50_s": plat[len(plat) // 2],
+        "phrase_stop_fetch_s": round(phrase_fetch_s, 4),
         "wand_spark_p50_s": lat[len(lat) // 2],
         "wand_spark_p90_s": lat[int(len(lat) * 0.9)],
         "wand_batch30_s": batch,
@@ -429,6 +467,8 @@ def main() -> None:
     # informational, not a critical-path stage, so no scaling ratio)
     stage_scaling["commit_worker_s_lo"] = slo.get("commit_worker_s", 0.0)
     stage_scaling["commit_worker_s_hi"] = shi.get("commit_worker_s", 0.0)
+    stage_scaling["tid_verify_s_lo"] = slo.get("tid_verify_s", 0.0)
+    stage_scaling["tid_verify_s_hi"] = shi.get("tid_verify_s", 0.0)
     # shuffle-free Spark-stage ceiling at the same core counts.
     # best-of-two per level with lo/hi INTERLEAVED: this VM's noise
     # comes in multi-minute windows, so two back-to-back lo samples can
@@ -464,8 +504,11 @@ def main() -> None:
     # reference's server); wand_spark_p50 = one distributed job/query
     queries["wand_p50"] = round(qstats["serve_p50_s"], 4)
     queries["wand_p90"] = round(qstats["serve_p90_s"], 4)
+    queries["wand_p90_fetch"] = qstats["serve_p90_fetch_s"]
+    queries["wand_cold_fetch_share"] = qstats["serve_cold_fetch_share"]
     queries["wand_hot_p50"] = round(qstats["serve_hot_p50_s"], 4)
     queries["phrase_stop_p50"] = round(qstats["phrase_stop_p50_s"], 4)
+    queries["phrase_stop_fetch"] = qstats["phrase_stop_fetch_s"]
     queries["tiered_p50"] = round(qstats["tiered_p50_s"], 4)
     queries["wand_spark_p50"] = round(qstats["wand_spark_p50_s"], 4)
     queries["wand_batch30"] = round(qstats["wand_batch30_s"], 4)

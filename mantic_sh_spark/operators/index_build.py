@@ -623,7 +623,7 @@ def build_index(
     n_segments: int = 8,
     k1: float = K1,
     b: float = B,
-    batch_segments: int | None = None,
+    batch_segments: int | list[int] | None = None,
     max_batches: int | None = None,
     extract: bool = False,
     chunk_size: int | None = None,
@@ -637,7 +637,10 @@ def build_index(
     batch_segments controls manifest-commit granularity: segments are
     built in parallel within a batch (one Spark job) and the manifest
     row set is committed per batch. Smaller batches = finer resume
-    granularity; None = all pending segments in one job.
+    granularity; None = all pending segments in one job; a LIST is an
+    explicit tapered plan (e.g. [20, 8, 4] — the last batch's commit is
+    the only one that can't overlap a following shuffle, so making it
+    the smallest shrinks the build's serial tail).
 
     extract=True derives `text` from the `html` column via the pinned
     extraction spec (sources/extract.py, byte-identical per url) instead
@@ -784,15 +787,24 @@ def build_index(
         return paths
 
     _t = _trace("seg discovery", _t)
-    if verify_tids:
-        # opt-out collision gate over exactly the segments about to be
-        # encoded (resume verifies only what it will write)
-        verify_tid_uniqueness(spark, docs.filter(F.col("segment_id").isin(pending)))
-        _t = _trace("tid verify", _t)
     _cleanup_uncommitted(spark, paths, pending)
     _t = _trace("cleanup", _t)
-    bs = batch_segments or len(pending)
-    batches = [pending[i : i + bs] for i in range(0, len(pending), bs)]
+    if isinstance(batch_segments, (list, tuple)):
+        # explicit batch PLAN (sizes in order; the last size repeats if
+        # segments remain). A TAPERED plan — big batches first, a small
+        # final batch — shrinks the only commit that cannot overlap
+        # anything: the last batch's terms/metrics commit is the
+        # build's serial tail, and its cost is batch-proportional.
+        sizes = [int(s) for s in batch_segments if int(s) > 0]
+        batches, i, j = [], 0, 0
+        while i < len(pending):
+            sz = sizes[min(j, len(sizes) - 1)] if sizes else len(pending)
+            batches.append(pending[i : i + sz])
+            i += sz
+            j += 1
+    else:
+        bs = batch_segments or len(pending)
+        batches = [pending[i : i + bs] for i in range(0, len(pending), bs)]
     if max_batches is not None:
         batches = batches[:max_batches]
     # PIPELINED commits: the docs-stage norms+manifest commit and batch
@@ -846,6 +858,24 @@ def build_index(
         futures = []
         if docs_commit is not None:
             futures.append(commit_pool.submit(_poisoned, docs_commit))
+        if verify_tids:
+            # opt-out collision gate over exactly the segments about to
+            # be encoded (a resume verifies only what it will write).
+            # Runs ON THE COMMIT WORKER, overlapped with the first
+            # postings shuffle, so the vocabulary pass adds no critical-
+            # path time; because the single worker serializes it BEFORE
+            # every postings-batch commit (and a failure poisons them),
+            # the contract is: no posting COMMITS unless the batch
+            # vocabulary is collision-free. A failed gate leaves only
+            # uncommitted segment files, which _cleanup_uncommitted
+            # removes on the next run.
+            def _verify() -> None:
+                _tv = time.time()
+                verify_tid_uniqueness(
+                    spark, docs.filter(F.col("segment_id").isin(pending)))
+                _trace("tid verify (overlapped)", _tv)
+
+            futures.append(commit_pool.submit(_poisoned, _verify))
         for seg_batch in batches:
             for f in futures:
                 if f.done():
@@ -876,9 +906,12 @@ def verify_tid_uniqueness(spark: SparkSession, docs_with_tokens: DataFrame) -> N
     distinct terms (explode(array_distinct) partial-aggregates
     per-partition before the exchange) mapped through tid_col must land
     on distinct tids; any tid owned by ≥2 terms raises with the
-    colliding terms BEFORE a single posting is written. Cost is one
-    tokenize+distinct pass (~2-3% of build wall at sf0.1 — the encode
-    shuffle dominates); opt out with build_index(verify_tids=False).
+    colliding terms. In build_index the job rides the single commit
+    worker, overlapped with the first postings shuffle and serialized
+    BEFORE every postings-batch commit (a failure poisons them), so the
+    tokenize+distinct pass adds no critical-path time and no posting
+    ever COMMITS against a colliding vocabulary; extend/upsert folds
+    run it inline before encoding. Opt out with verify_tids=False.
 
     Collision budget (why the check defaults ON): for v distinct terms,
     expected 64-bit collisions ≈ v²/2⁶⁵ — negligible at 10⁶ (~5×10⁻⁸)

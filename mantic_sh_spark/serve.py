@@ -391,6 +391,7 @@ class IndexReader:
             # and install identical frames (idempotent)
             if stats is not None:
                 stats["terms_cold"] = stats.get("terms_cold", 0) + len(missing)
+            _tf = time.time()
             meta = self._meta(missing)
             tid2term = {m[1]: t for t, m in meta.items() if m[0] > 0}
             if tid2term:
@@ -405,6 +406,13 @@ class IndexReader:
                 import pandas as pd
 
                 pdf = pd.DataFrame({c: [] for c in columns})
+            if stats is not None:
+                # cold-I/O share of the query (terms-dir probe + pruned
+                # postings read + pandas conversion) — separates "the
+                # fetch got slower" from "the kernel got slower" when a
+                # p90 drifts (r4 what's-wrong #4 diagnosability)
+                stats["fetch_ms"] = round(
+                    stats.get("fetch_ms", 0.0) + (time.time() - _tf) * 1e3, 3)
             with self._lock:
                 # frames fetched from a pre-refresh dataset handle must
                 # not be INSTALLED after a racing refresh cleared the

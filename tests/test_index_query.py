@@ -390,13 +390,23 @@ def test_tid_collision_gate_fails_loudly(spark, small_corpus, tmp_path, monkeypa
     idx = str(tmp_path / "idx")
     with pytest.raises(RuntimeError, match="collision"):
         build_index(spark, pages, idx, n_segments=2)
-    # gate fired before the encode: no postings directory exists
+    # the gate rides the commit worker and poisons every postings
+    # commit: whatever segment files the overlapped shuffle wrote are
+    # UNCOMMITTED (no postings manifest rows — exactly the crash-resume
+    # state _cleanup_uncommitted handles)
     from mantic_sh_spark.sources.catalog import IndexPaths, read_or_none
 
-    assert read_or_none(spark, IndexPaths(idx).postings) is None
+    m = read_or_none(spark, IndexPaths(idx).manifest)
+    assert m is None or m.filter(F.col("stage") == "postings").count() == 0
 
-    # opt-out path completes (the index is hash-degenerate but that is
-    # the caller's explicit choice)
+    # the same dir rebuilds cleanly once the hash is sane again
+    monkeypatch.undo()
+    build_index(spark, pages, idx, n_segments=2)
+    assert read_or_none(spark, IndexPaths(idx).postings) is not None
+
+    # opt-out path completes even with the colliding hash (the index is
+    # hash-degenerate but that is the caller's explicit choice)
+    monkeypatch.setattr(ib, "tid_col", colliding_tid)
     out = str(tmp_path / "optout")
     build_index(spark, pages, out, n_segments=2, verify_tids=False)
     assert read_or_none(spark, IndexPaths(out).postings) is not None
