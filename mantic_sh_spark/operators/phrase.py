@@ -84,19 +84,28 @@ def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
     (segment_phrase_positions — the `find_references` surface) from the
     same pass. Returns None when no candidate survives.
 
-    `decoded_cache` (term → _term_postings result) lets a caller that
-    probes MANY phrases over one segment (get_definition: one probe per
-    definition keyword) decode each term's blocks once instead of once
-    per probe."""
+    `decoded_cache` (term → _term_postings result; plain dict or a
+    .get/.put object like the serving reader's byte-budgeted decoded
+    LRU) lets a caller that probes MANY phrases over one segment
+    (get_definition: one probe per definition form) — or many QUERIES
+    over a long-lived reader — decode each term's blocks once. NB: the
+    lookup is get-then-decode, never dict.setdefault(t, decode()) —
+    setdefault evaluates its default eagerly, which would re-decode on
+    every hit and make the cache pure overhead."""
     if not terms or any(t not in by_term for t in terms):
         return None
-    if decoded_cache is None:
-        decoded = {t: _term_postings(by_term[t]) for t in set(terms)}
-    else:
-        decoded = {
-            t: decoded_cache.setdefault(t, _term_postings(by_term[t]))
-            for t in set(terms)
-        }
+    decoded = {}
+    for t in set(terms):
+        got = decoded_cache.get(t) if decoded_cache is not None else None
+        if got is None:
+            got = _term_postings(by_term[t])
+            if decoded_cache is not None:
+                put = getattr(decoded_cache, "put", None)
+                if put is not None:
+                    put(t, got)
+                else:
+                    decoded_cache[t] = got
+        decoded[t] = got
     # candidate docs: intersect doc sets, smallest first
     doc_sets = [decoded[t][0] for t in terms]
     cand = doc_sets[0]
@@ -151,7 +160,8 @@ def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
 
 def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
                            dead: np.ndarray | None = None,
-                           slop: int = 0) -> list[tuple[int, int]]:
+                           slop: int = 0,
+                           decoded_cache: dict | None = None) -> list[tuple[int, int]]:
     """One (segment, phrase) evaluation → [(doc_id, n_matches)].
     Shared by the distributed UDF and the serving reader (the same
     sharing discipline as wand.segment_topk).
@@ -166,7 +176,7 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
     the greedy smallest-next-position match, which is exact because
     greedy minimizes the stretch. n_matches per doc then falls out of
     one bincount. No per-doc Python anywhere."""
-    r = _phrase_match_starts(by_term, terms, dead, slop)
+    r = _phrase_match_starts(by_term, terms, dead, slop, decoded_cache=decoded_cache)
     if r is None:
         return []
     cand, doc_rank0, _p0, valid = r

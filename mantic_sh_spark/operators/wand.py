@@ -261,19 +261,33 @@ def _decode_term_all(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndar
     return docs, tfs, dls
 
 
-def _taat_topk(term_pdfs: list[tuple[pd.DataFrame, float]], avgdl: float, k: int,
+def _taat_topk(term_pdfs: list[tuple[str, pd.DataFrame, float]], avgdl: float, k: int,
                k1: float, b: float, dead: "np.ndarray | None",
-               stats: dict | None = None) -> list[tuple[int, float]]:
+               stats: dict | None = None,
+               decode_cache=None) -> list[tuple[int, float]]:
     """Exact vectorized term-at-a-time top-k over one segment:
     decode → per-posting scores → sort-merge accumulate by doc →
-    lexsort top-k. No per-doc Python."""
+    lexsort top-k. No per-doc Python.
+
+    `decode_cache` (optional, .get(term)/.put(term, value) — the
+    serving reader passes a byte-budgeted LRU namespaced per segment)
+    memoizes the decoded (docs, tfs, dls) arrays: TAAT-class terms are
+    the corpus-dense head of the vocabulary, and their decode is the
+    dominant per-query cost once the compressed frames are hot."""
     from ..functions.codec import tf_norm
 
     doc_parts, score_parts = [], []
-    for pdf, idf in term_pdfs:
-        if stats is not None:  # TAAT decodes every block of its lists
-            stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(pdf)
-        d, tf, dl = _decode_term_all(pdf)
+    for t, pdf, idf in term_pdfs:
+        dec = decode_cache.get(t) if decode_cache is not None else None
+        if dec is None:
+            if stats is not None:  # TAAT decodes every block of its lists
+                stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + len(pdf)
+            dec = _decode_term_all(pdf)
+            if decode_cache is not None:
+                decode_cache.put(t, dec)
+        elif stats is not None:
+            stats["decoded_hits"] = stats.get("decoded_hits", 0) + 1
+        d, tf, dl = dec
         doc_parts.append(d)
         score_parts.append(idf * tf_norm(tf, dl, avgdl, k1, b))
     docs = np.concatenate(doc_parts)
@@ -296,7 +310,8 @@ def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
                  idf_map: dict[str, float], avgdl: float, k: int,
                  k1: float, b: float, bound_factor: float = 1.0,
                  dead: "np.ndarray | None" = None,
-                 stats: dict | None = None) -> list[tuple[int, float]]:
+                 stats: dict | None = None,
+                 decode_cache=None) -> list[tuple[int, float]]:
     """One (segment, query) top-k with the cost-based TAAT/WAND choice.
     Shared by the distributed UDF and the serving reader so both
     surfaces rank identically by construction. `stats` (optional dict)
@@ -313,8 +328,9 @@ def segment_topk(by_term: dict[str, pd.DataFrame], terms: list[str],
             len(by_term[t]) for t in present
         )
     if len(present) == 1 or (total <= TAAT_CAP and min(counts) * TAAT_SELECTIVITY >= total):
-        return _taat_topk([(by_term[t], idf_map[t]) for t in present],
-                          avgdl, k, k1, b, dead, stats=stats)
+        return _taat_topk([(t, by_term[t], idf_map[t]) for t in present],
+                          avgdl, k, k1, b, dead, stats=stats,
+                          decode_cache=decode_cache)
     cursors = [
         _Cursor(by_term[t], idf_map[t], avgdl, k1, b, bound_factor=bound_factor,
                 stats=stats)

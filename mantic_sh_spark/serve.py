@@ -70,6 +70,77 @@ _GLOBAL_TAAT_SPILL = 2_000_000
 _DEAD_UNION_CAP = 8_000_000
 
 
+# Byte budget for the decoded-postings LRU: decoded arrays run ~12x
+# their varint form, so this cache holds far fewer ENTRIES than the
+# compressed block LRU — but each hit skips the decode pass that
+# dominates dense-term (TAAT/phrase) queries once frames are hot
+# (measured: the stop-word-phrase p50 is ~100% decode+kernel, 0% fetch).
+_DECODE_BUDGET = 256 * 1024 * 1024
+
+
+def _decoded_nbytes(value) -> int:
+    """Recursive nbytes of a decoded payload (tuples/lists of ndarrays)."""
+    if isinstance(value, (tuple, list)):
+        return sum(_decoded_nbytes(v) for v in value)
+    return int(getattr(value, "nbytes", 0))
+
+
+class _DecodedLRU:
+    """Byte-budgeted LRU of decoded posting payloads, keyed by
+    (namespace, term). Thread-safe; the reader clears it on refresh()
+    (same lifetime discipline as the compressed block LRUs). An entry
+    larger than the whole budget is served but never cached."""
+
+    def __init__(self, budget_bytes: int):
+        self.budget = int(budget_bytes)
+        self._lock = threading.Lock()
+        self._d: OrderedDict = OrderedDict()
+        self._bytes = 0
+
+    def get(self, key):
+        with self._lock:
+            hit = self._d.get(key)
+            if hit is None:
+                return None
+            self._d.move_to_end(key)
+            return hit[0]
+
+    def put(self, key, value) -> None:
+        nb = _decoded_nbytes(value)
+        if nb > self.budget:
+            return
+        with self._lock:
+            old = self._d.pop(key, None)
+            if old is not None:
+                self._bytes -= old[1]
+            self._d[key] = (value, nb)
+            self._bytes += nb
+            while self._bytes > self.budget and self._d:
+                _, (_v, onb) = self._d.popitem(last=False)
+                self._bytes -= onb
+
+    def clear(self) -> None:
+        with self._lock:
+            self._d.clear()
+            self._bytes = 0
+
+
+class _NsDecodeCache:
+    """Namespace adapter handing kernels a flat .get(term)/.put(term,
+    value) view of one _DecodedLRU (e.g. per (kind, segment))."""
+
+    __slots__ = ("_lru", "_ns")
+
+    def __init__(self, lru: _DecodedLRU, ns: tuple):
+        self._lru, self._ns = lru, ns
+
+    def get(self, term):
+        return self._lru.get(self._ns + (term,))
+
+    def put(self, term, value) -> None:
+        self._lru.put(self._ns + (term,), value)
+
+
 def _frame_disjoint(pdf) -> bool:
     """Global-kernel precondition for ONE term's blocks frame: sorted
     by first_doc, block [first, last] intervals are non-overlapping —
@@ -108,6 +179,7 @@ class IndexReader:
         self._lock = threading.RLock()
         self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
         self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
+        self._decoded = _DecodedLRU(_DECODE_BUDGET)
         self._df_cache: dict[str, tuple[int, int]] = {}  # term → (df, tid)
         # truncated is THREAD-LOCAL: under serve_loop concurrency each
         # worker thread must see its own query's ST4 flag, not a racing
@@ -224,6 +296,7 @@ class IndexReader:
         self._tier_specs_cache = None
         self._blocks_lru.clear()
         self._pos_lru.clear()
+        self._decoded.clear()
         self._df_cache.clear()
         self._dead_cache.clear()
         self._dead_union_cache = None  # global-kernel liveness input
@@ -235,7 +308,7 @@ class IndexReader:
         self.totals = {"queries": 0, "segments_touched": 0,
                        "blocks_considered": 0, "blocks_decoded": 0,
                        "terms_cold": 0, "global_fallbacks": 0,
-                       "dead_union_fallbacks": 0}
+                       "dead_union_fallbacks": 0, "decoded_hits": 0}
 
     @staticmethod
     def _dataset_or_none(path: str):
@@ -641,7 +714,8 @@ class IndexReader:
                 }
             hits = segment_topk(nonempty, qterms, idf_map, self.avgdl, k,
                                 self.k1, self.b, bound_factor=1.0,
-                                dead=self._dead_union(), stats=stats)
+                                dead=self._dead_union(), stats=stats,
+                                decode_cache=_NsDecodeCache(self._decoded, ("k", -1)))
         else:
             # Per-segment sweep: ST4 budgeted queries (deadline checked
             # between segments, so at least one segment always completes
@@ -663,7 +737,8 @@ class IndexReader:
                     segment_topk(by_term, qterms, idf_map, self.avgdl, k,
                                  self.k1, self.b,
                                  bound_factor=self.bound_factors.get(seg, 1.0),
-                                 dead=self._dead(seg), stats=stats)
+                                 dead=self._dead(seg), stats=stats,
+                                 decode_cache=_NsDecodeCache(self._decoded, ("k", seg)))
                 )
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
@@ -715,7 +790,7 @@ class IndexReader:
             self.totals["queries"] += 1
             for key in ("segments_touched", "blocks_considered",
                         "blocks_decoded", "terms_cold", "global_fallbacks",
-                        "dead_union_fallbacks"):
+                        "dead_union_fallbacks", "decoded_hits"):
                 self.totals[key] += stats.get(key, 0)
 
     def counters(self) -> dict:
@@ -800,7 +875,9 @@ class IndexReader:
             # the phrase kernel decodes every block of its candidate
             # terms (positions must materialize to verify adjacency)
             stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
-            hits.extend(segment_phrase_matches(by_term, terms, self._dead(seg), slop))
+            hits.extend(segment_phrase_matches(
+                by_term, terms, self._dead(seg), slop,
+                decoded_cache=_NsDecodeCache(self._decoded, ("p", seg))))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
@@ -987,7 +1064,9 @@ class IndexReader:
         for seg, by_term in per_seg.items():
             stats["segments_touched"] += 1
             stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
-            hits.extend(segment_phrase_positions(by_term, terms, self._dead(seg)))
+            hits.extend(segment_phrase_positions(
+                by_term, terms, self._dead(seg),
+                decoded_cache=_NsDecodeCache(self._decoded, ("p", seg))))
         hits.sort(key=lambda x: (-len(x[1]), x[0]))
         hits = hits[:k]
         url_map = self.urls([d for d, _ in hits])
@@ -1085,7 +1164,11 @@ class IndexReader:
                 len(by_term[t])
                 for t in {t for f in seg_forms for t in f[2]} | set(sym))
             dead = self._dead(seg)
-            cache: dict = {}
+            # persistent decoded LRU, not a per-call dict: the probe
+            # terms (definition keywords + hot symbols) repeat across
+            # queries, and the namespace is shared with phrase/
+            # references (same frames, same _term_postings decode)
+            cache = _NsDecodeCache(self._decoded, ("p", seg))
             for rank, _, phrase, sym_off in seg_forms:
                 for doc, pos in segment_phrase_positions(
                         by_term, phrase, dead, decoded_cache=cache):
