@@ -132,14 +132,30 @@ def lsh_bucket_audit(
     n_hashes: int = N_HASHES,
     band_size: int = BAND_SIZE,
     max_bucket: int = 256,
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """(band, band_key, width) of the band buckets a max_bucket cap
     DROPS from lsh_candidate_pairs — the counted, surfaced audit of
     what the skew guard skipped. A capped bucket is a pathological
     near-identical cluster: at width d it would emit d(d-1)/2 candidate
     pairs per band, so the pipeline drops it and reports it here
-    instead of silently attempting the quadratic join."""
-    bands = lsh_bands(minhash_signatures(docs, n_hashes), band_size)
+    instead of silently attempting the quadratic join.
+
+    collapse_exact must MATCH the near_dup_pairs call being audited
+    (both default True): near_dup_pairs bands the exact-collapsed
+    representatives, so auditing the raw docs would report exact-dup
+    clusters as dropped buckets when nothing was dropped — and could
+    mis-state the width of genuinely capped buckets (review r5
+    finding)."""
+    base = docs
+    if collapse_exact:
+        reps = (
+            exact_clusters(docs)
+            .filter(F.col("doc_id") == F.col("rep_id"))
+            .select("doc_id")
+        )
+        base = docs.join(reps, "doc_id")
+    bands = lsh_bands(minhash_signatures(base, n_hashes), band_size)
     return (
         bands.groupBy("band", "band_key")
         .agg(F.count(F.lit(1)).cast("long").alias("width"))

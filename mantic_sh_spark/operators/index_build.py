@@ -859,20 +859,23 @@ def build_index(
         if docs_commit is not None:
             futures.append(commit_pool.submit(_poisoned, docs_commit))
         if verify_tids:
-            # opt-out collision gate over exactly the segments about to
-            # be encoded (a resume verifies only what it will write).
-            # Runs ON THE COMMIT WORKER, overlapped with the first
-            # postings shuffle, so the vocabulary pass adds no critical-
-            # path time; because the single worker serializes it BEFORE
-            # every postings-batch commit (and a failure poisons them),
-            # the contract is: no posting COMMITS unless the batch
-            # vocabulary is collision-free. A failed gate leaves only
-            # uncommitted segment files, which _cleanup_uncommitted
-            # removes on the next run.
+            # opt-out collision gate over exactly the segments THIS RUN
+            # will encode (a resume — or a max_batches-limited run —
+            # verifies only what it will write; later runs verify their
+            # own batches). Runs ON THE COMMIT WORKER, overlapped with
+            # the first postings shuffle, so the vocabulary pass adds no
+            # critical-path time; because the single worker serializes
+            # it BEFORE every postings-batch commit (and a failure
+            # poisons them), the contract is: no posting COMMITS unless
+            # the batch vocabulary is collision-free. A failed gate
+            # leaves only uncommitted segment files, which
+            # _cleanup_uncommitted removes on the next run.
+            run_segs = [s for batch in batches for s in batch]
+
             def _verify() -> None:
                 _tv = time.time()
                 verify_tid_uniqueness(
-                    spark, docs.filter(F.col("segment_id").isin(pending)))
+                    spark, docs.filter(F.col("segment_id").isin(run_segs)))
                 _trace("tid verify (overlapped)", _tv)
 
             futures.append(commit_pool.submit(_poisoned, _verify))

@@ -75,7 +75,8 @@ def _gather_runs(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.n
 def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
                          dead: np.ndarray | None = None,
                          slop: int = 0,
-                         decoded_cache: dict | None = None):
+                         decoded_cache: dict | None = None,
+                         stats: dict | None = None):
     """Core batched phrase verification → (cand_docs, doc_rank0, p0,
     valid): one element per START position of the first term across
     every candidate doc; `valid` marks the starts where the full
@@ -98,6 +99,12 @@ def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
     for t in set(terms):
         got = decoded_cache.get(t) if decoded_cache is not None else None
         if got is None:
+            # decode accounting lives HERE, not in callers: with a
+            # persistent decoded cache a hot term is never re-decoded,
+            # and caller-side counting would over-report blocks_decoded
+            if stats is not None:
+                stats["blocks_decoded"] = (
+                    stats.get("blocks_decoded", 0) + len(by_term[t]))
             got = _term_postings(by_term[t])
             if decoded_cache is not None:
                 put = getattr(decoded_cache, "put", None)
@@ -105,6 +112,8 @@ def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
                     put(t, got)
                 else:
                     decoded_cache[t] = got
+        elif stats is not None:
+            stats["decoded_hits"] = stats.get("decoded_hits", 0) + 1
         decoded[t] = got
     # candidate docs: intersect doc sets, smallest first
     doc_sets = [decoded[t][0] for t in terms]
@@ -161,7 +170,8 @@ def _phrase_match_starts(by_term: dict[str, pd.DataFrame], terms: list[str],
 def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
                            dead: np.ndarray | None = None,
                            slop: int = 0,
-                           decoded_cache: dict | None = None) -> list[tuple[int, int]]:
+                           decoded_cache: dict | None = None,
+                           stats: dict | None = None) -> list[tuple[int, int]]:
     """One (segment, phrase) evaluation → [(doc_id, n_matches)].
     Shared by the distributed UDF and the serving reader (the same
     sharing discipline as wand.segment_topk).
@@ -176,7 +186,8 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
     the greedy smallest-next-position match, which is exact because
     greedy minimizes the stretch. n_matches per doc then falls out of
     one bincount. No per-doc Python anywhere."""
-    r = _phrase_match_starts(by_term, terms, dead, slop, decoded_cache=decoded_cache)
+    r = _phrase_match_starts(by_term, terms, dead, slop,
+                             decoded_cache=decoded_cache, stats=stats)
     if r is None:
         return []
     cand, doc_rank0, _p0, valid = r
@@ -188,7 +199,8 @@ def segment_phrase_matches(by_term: dict[str, pd.DataFrame], terms: list[str],
 def segment_phrase_positions(by_term: dict[str, pd.DataFrame], terms: list[str],
                              dead: np.ndarray | None = None,
                              slop: int = 0,
-                             decoded_cache: dict | None = None) -> list[tuple[int, np.ndarray]]:
+                             decoded_cache: dict | None = None,
+                             stats: dict | None = None) -> list[tuple[int, np.ndarray]]:
     """One (segment, phrase/symbol) evaluation → [(doc_id, ascending
     match-START token positions)] — the positional payload behind
     `find_references` (reference: src/code-intel.ts:337-383 /
@@ -197,7 +209,8 @@ def segment_phrase_positions(by_term: dict[str, pd.DataFrame], terms: list[str],
     camelCase identifiers match as exact phrases). Same batched kernel
     as segment_phrase_matches — the starts are already computed; this
     just groups them by doc instead of counting."""
-    r = _phrase_match_starts(by_term, terms, dead, slop, decoded_cache=decoded_cache)
+    r = _phrase_match_starts(by_term, terms, dead, slop,
+                             decoded_cache=decoded_cache, stats=stats)
     if r is None:
         return []
     cand, doc_rank0, p0, valid = r

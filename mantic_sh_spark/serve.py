@@ -69,6 +69,13 @@ _GLOBAL_TAAT_SPILL = 2_000_000
 # nothing and the window is fold-bounded.
 _DEAD_UNION_CAP = 8_000_000
 
+# Byte budget for the per-segment tombstone-array cache (the sweep's
+# liveness input): without it a query mix touching every segment of a
+# heavily-churned index would converge _dead_cache to the full
+# tombstone volume resident — the very bound the union cap claims
+# (review r5 finding). LRU eviction; one segment's array is the unit.
+_DEAD_CACHE_BUDGET = 256 * 1024 * 1024
+
 
 # Byte budget for the decoded-postings LRU: decoded arrays run ~12x
 # their varint form, so this cache holds far fewer ENTRIES than the
@@ -89,13 +96,22 @@ class _DecodedLRU:
     """Byte-budgeted LRU of decoded posting payloads, keyed by
     (namespace, term). Thread-safe; the reader clears it on refresh()
     (same lifetime discipline as the compressed block LRUs). An entry
-    larger than the whole budget is served but never cached."""
+    larger than the whole budget is served but never cached.
+
+    clear() bumps a GENERATION; puts carry the generation their decode
+    started under and are dropped if a clear raced in between (checked
+    under the same lock clear() takes, so the check is atomic). Without
+    this, a query straddling refresh() would install PRE-refresh
+    decoded arrays into the just-cleared cache and every later query
+    would hit stale postings — the exact race _fetch_blocks guards
+    with its epoch re-check (review r5 finding)."""
 
     def __init__(self, budget_bytes: int):
         self.budget = int(budget_bytes)
         self._lock = threading.Lock()
         self._d: OrderedDict = OrderedDict()
         self._bytes = 0
+        self.generation = 0
 
     def get(self, key):
         with self._lock:
@@ -105,11 +121,13 @@ class _DecodedLRU:
             self._d.move_to_end(key)
             return hit[0]
 
-    def put(self, key, value) -> None:
+    def put(self, key, value, generation: int | None = None) -> None:
         nb = _decoded_nbytes(value)
         if nb > self.budget:
             return
         with self._lock:
+            if generation is not None and generation != self.generation:
+                return  # decoded from pre-clear frames — stale
             old = self._d.pop(key, None)
             if old is not None:
                 self._bytes -= old[1]
@@ -123,22 +141,29 @@ class _DecodedLRU:
         with self._lock:
             self._d.clear()
             self._bytes = 0
+            self.generation += 1
 
 
 class _NsDecodeCache:
     """Namespace adapter handing kernels a flat .get(term)/.put(term,
-    value) view of one _DecodedLRU (e.g. per (kind, segment))."""
+    value) view of one _DecodedLRU (e.g. per (kind, segment)). Pins the
+    LRU generation at construction (query start) so puts from a query
+    that straddles refresh() are dropped, not installed stale."""
 
-    __slots__ = ("_lru", "_ns")
+    __slots__ = ("_lru", "_ns", "_gen")
 
-    def __init__(self, lru: _DecodedLRU, ns: tuple):
+    def __init__(self, lru: _DecodedLRU, ns: tuple, generation: int | None = None):
         self._lru, self._ns = lru, ns
+        # callers pass the generation captured BEFORE their frame fetch
+        # (the compressed frames being decoded must be no older than the
+        # pinned generation); default pins at construction
+        self._gen = lru.generation if generation is None else generation
 
     def get(self, term):
         return self._lru.get(self._ns + (term,))
 
     def put(self, term, value) -> None:
-        self._lru.put(self._ns + (term,), value)
+        self._lru.put(self._ns + (term,), value, generation=self._gen)
 
 
 def _frame_disjoint(pdf) -> bool:
@@ -275,18 +300,28 @@ class IndexReader:
         # (and caches until the next refresh). No global tombstone
         # array exists anywhere in the reader.
         self._dead_segs: frozenset[int] = frozenset()
-        self._dead_cache: dict[int, np.ndarray] = {}
+        self._dead_cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._dead_cache_bytes = 0
         self._dead_total = 0  # total tombstone rows (union-cap input)
         t = self._dataset_or_none(self.paths.tombstones)
         # a purge deletes every tombstone PARTITION but leaves the root
         # dir: the dataset then exists with a column-less schema — treat
-        # it as clean, don't crash the refresh
+        # it as clean, don't crash the refresh.
+        # METADATA-ONLY census (review r5 finding): partition membership
+        # comes from the hive fragment paths and the row count from
+        # parquet footers — materializing the segment_id column here
+        # would allocate one int64 per tombstone (8 GB at 1e9) on every
+        # refresh, exactly the array the union cap exists to avoid.
         if t is not None and "segment_id" in t.schema.names:
-            import pyarrow.compute as pc
+            import re as _re
 
-            segs = t.to_table(columns=["segment_id"]).column("segment_id")
-            self._dead_segs = frozenset(int(s) for s in pc.unique(segs).to_pylist())
-            self._dead_total = len(segs)
+            segs = set()
+            for frag in t.get_fragments():
+                m = _re.search(r"segment_id=(-?\d+)", frag.path)
+                if m:
+                    segs.add(int(m.group(1)))
+            self._dead_segs = frozenset(segs)
+            self._dead_total = t.count_rows()
 
         # an empty-corpus index commits only collection_stats + manifest
         # (no postings/terms/docs dirs) — serve it as empty, not a crash
@@ -299,6 +334,7 @@ class IndexReader:
         self._decoded.clear()
         self._df_cache.clear()
         self._dead_cache.clear()
+        self._dead_cache_bytes = 0
         self._dead_union_cache = None  # global-kernel liveness input
         # counters restart with the new index state (counters() promises
         # totals "since construction/refresh"); the epoch bump
@@ -425,11 +461,18 @@ class IndexReader:
             return None
         with self._lock:
             arr = self._dead_cache.get(seg)
-            if arr is None:
+            if arr is not None:
+                self._dead_cache.move_to_end(seg)
+            else:
                 from .operators.delete import segment_tombstones
 
                 arr = segment_tombstones(self.paths.tombstones, seg)
                 self._dead_cache[seg] = arr
+                self._dead_cache_bytes += arr.nbytes
+                while (self._dead_cache_bytes > _DEAD_CACHE_BUDGET
+                       and len(self._dead_cache) > 1):
+                    _, old = self._dead_cache.popitem(last=False)
+                    self._dead_cache_bytes -= old.nbytes
         return arr if len(arr) else None
 
     def _fetch_blocks(self, lru: OrderedDict, columns: list[str],
@@ -630,6 +673,10 @@ class IndexReader:
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
         if not idf_map:
             return []
+        # decoded-LRU generation pinned BEFORE the frame fetch: a
+        # refresh racing anywhere after this line makes every decode
+        # put from this query a dropped no-op instead of a stale install
+        dgen = self._decoded.generation
         blocks = self._blocks(sorted(idf_map), stats=stats)
         qterms = sorted(idf_map)
         hits: list[tuple[int, float]] = []
@@ -715,7 +762,7 @@ class IndexReader:
             hits = segment_topk(nonempty, qterms, idf_map, self.avgdl, k,
                                 self.k1, self.b, bound_factor=1.0,
                                 dead=self._dead_union(), stats=stats,
-                                decode_cache=_NsDecodeCache(self._decoded, ("k", -1)))
+                                decode_cache=_NsDecodeCache(self._decoded, ("k", -1), dgen))
         else:
             # Per-segment sweep: ST4 budgeted queries (deadline checked
             # between segments, so at least one segment always completes
@@ -738,7 +785,7 @@ class IndexReader:
                                  self.k1, self.b,
                                  bound_factor=self.bound_factors.get(seg, 1.0),
                                  dead=self._dead(seg), stats=stats,
-                                 decode_cache=_NsDecodeCache(self._decoded, ("k", seg)))
+                                 decode_cache=_NsDecodeCache(self._decoded, ("k", seg), dgen))
                 )
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
@@ -868,16 +915,18 @@ class IndexReader:
         terms = tokenize(phrase)  # ordered, repeats kept
         if not terms:
             return []
+        dgen = self._decoded.generation  # pin BEFORE the frame fetch
         per_seg = self._pos_blocks_by_segment(sorted(set(terms)), stats)
         hits: list[tuple[int, int]] = []
         for seg, by_term in per_seg.items():
             stats["segments_touched"] += 1
-            # the phrase kernel decodes every block of its candidate
-            # terms (positions must materialize to verify adjacency)
-            stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
+            # decode accounting lives in the kernel now: with the
+            # decoded LRU a hot term is NOT re-decoded, and counting
+            # here would over-report (review r5 finding)
             hits.extend(segment_phrase_matches(
                 by_term, terms, self._dead(seg), slop,
-                decoded_cache=_NsDecodeCache(self._decoded, ("p", seg))))
+                decoded_cache=_NsDecodeCache(self._decoded, ("p", seg), dgen),
+                stats=stats))
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
@@ -1059,14 +1108,15 @@ class IndexReader:
         if not terms:
             self._record_stats(stats, t0)
             return []
+        dgen = self._decoded.generation  # pin BEFORE the frame fetch
         per_seg = self._pos_blocks_by_segment(sorted(set(terms)), stats)
         hits: list[tuple[int, "np.ndarray"]] = []
         for seg, by_term in per_seg.items():
             stats["segments_touched"] += 1
-            stats["blocks_decoded"] += sum(len(g) for g in by_term.values())
             hits.extend(segment_phrase_positions(
                 by_term, terms, self._dead(seg),
-                decoded_cache=_NsDecodeCache(self._decoded, ("p", seg))))
+                decoded_cache=_NsDecodeCache(self._decoded, ("p", seg), dgen),
+                stats=stats))
         hits.sort(key=lambda x: (-len(x[1]), x[0]))
         hits = hits[:k]
         url_map = self.urls([d for d, _ in hits])
@@ -1098,6 +1148,16 @@ class IndexReader:
     # are covered.) Reported as keyword "=<trailer>", ranked below all
     # leading-keyword forms.
     DEF_TRAILERS = ("function", "async", "lambda", "new", "require")
+
+    # prose-reference guard for the trailer probes: "call the parseHtml
+    # function" tokenizes to [..., the, parse, html, function, ...] and
+    # would match [*sym, function] at the symbol — but a real
+    # assignment (`parseHtml = function ...`) is never preceded by a
+    # determiner (the '=' the tokenizer erased sat there). A trailer
+    # hit whose symbol is immediately preceded by one of these is
+    # dropped (checked with one [det, *sym, trailer] probe per
+    # determiner, decoded once via the LRU) — review r5 finding.
+    DEF_PROSE_GUARD = ("the", "a", "an", "this", "that")
 
     def definitions(self, symbol: str, k: int = 10) -> list[dict]:
         return self._self_heal(lambda: self._definitions_impl(symbol, k))
@@ -1133,12 +1193,14 @@ class IndexReader:
         # and an absent keyword need not be fetched — without this the
         # head-term keywords' (large) positional postings would be read
         # and LRU-cached even for typo symbols (review r4 finding)
-        dfs = self.df(sorted(set(self.DEF_KEYWORDS) | set(self.DEF_TRAILERS) | set(sym)))
+        dfs = self.df(sorted(set(self.DEF_KEYWORDS) | set(self.DEF_TRAILERS)
+                             | set(self.DEF_PROSE_GUARD) | set(sym)))
         if any(dfs[t] == 0 for t in sym):
             self._record_stats(stats, t0)
             return []
         kws = [kw for kw in self.DEF_KEYWORDS if dfs[kw] > 0]
         tws = [tw for tw in self.DEF_TRAILERS if dfs[tw] > 0]
+        guards = [g for g in self.DEF_PROSE_GUARD if dfs[g] > 0] if tws else []
         if not kws and not tws:
             self._record_stats(stats, t0)
             return []
@@ -1149,7 +1211,8 @@ class IndexReader:
         forms += [(len(self.DEF_KEYWORDS) + ti, f"={tw}", sym + [tw], 0)
                   for ti, tw in enumerate(self.DEF_TRAILERS) if tw in set(tws)]
         labels = {rank: label for rank, label, _, _ in forms}
-        per_seg = self._pos_blocks_by_segment(sorted(set(kws + tws + sym)), stats)
+        dgen = self._decoded.generation  # pin BEFORE the frame fetch
+        per_seg = self._pos_blocks_by_segment(sorted(set(kws + tws + guards + sym)), stats)
         hits: list[tuple[int, int, int]] = []  # (form_rank, pos, doc)
         for seg, by_term in per_seg.items():
             if not all(t in by_term for t in sym):
@@ -1158,20 +1221,39 @@ class IndexReader:
             if not seg_forms:
                 continue
             stats["segments_touched"] += 1
-            # one decode per (segment, term) shared across the probes
-            # (decoded_cache), so the accounting is exact
-            stats["blocks_decoded"] += sum(
-                len(by_term[t])
-                for t in {t for f in seg_forms for t in f[2]} | set(sym))
+            # decode accounting lives in the kernel (decoded-LRU hits
+            # must not be counted as decodes — review r5 finding)
             dead = self._dead(seg)
             # persistent decoded LRU, not a per-call dict: the probe
             # terms (definition keywords + hot symbols) repeat across
             # queries, and the namespace is shared with phrase/
             # references (same frames, same _term_postings decode)
-            cache = _NsDecodeCache(self._decoded, ("p", seg))
+            cache = _NsDecodeCache(self._decoded, ("p", seg), dgen)
             for rank, _, phrase, sym_off in seg_forms:
-                for doc, pos in segment_phrase_positions(
-                        by_term, phrase, dead, decoded_cache=cache):
+                matches = segment_phrase_positions(
+                    by_term, phrase, dead, decoded_cache=cache, stats=stats)
+                if sym_off == 0 and matches:
+                    # trailer form: drop prose references ("the X
+                    # function") — exclude symbol positions immediately
+                    # preceded by a determiner
+                    excl: dict[int, set] = {}
+                    for det in guards:
+                        if det not in by_term:
+                            continue
+                        for doc, dpos in segment_phrase_positions(
+                                by_term, [det] + phrase, dead,
+                                decoded_cache=cache, stats=stats):
+                            excl.setdefault(doc, set()).update(
+                                (p + 1) for p in dpos.tolist())
+                    if excl:
+                        kept = []
+                        for doc, pos in matches:
+                            good = [p for p in pos.tolist()
+                                    if p not in excl.get(doc, ())]
+                            if good:
+                                kept.append((doc, np.asarray(good)))
+                        matches = kept
+                for doc, pos in matches:
                     hits.append((rank, int(pos[0]) + sym_off, doc))
         hits.sort()
         url_map = self.urls([d for _, _, d in hits[:k]])

@@ -187,21 +187,37 @@ def write_small_parquet(spark: SparkSession, path: str, pdf, spark_schema: str) 
     if info.type == pafs.FileType.NotFound:
         fsys.create_dir(base, recursive=True)
     final = base + "/part-00000.parquet"
+    # Legacy-layout convergence runs BEFORE the write, not after it
+    # (review r5 finding): clearing legacy Spark part files after the
+    # new rename leaves a crash window with TWO data files, and since
+    # 'part-00000-<uuid>…' sorts before 'part-00000.parquet', readers
+    # taking row [0] would serve the STALE row persistently. Instead:
+    # if no canonical file exists, RENAME the single legacy data part
+    # to the canonical name (atomic; content is the current row); then
+    # delete any remaining legacy parts while the canonical file
+    # serves. Every crash point leaves exactly one readable data file.
+    # (A dir can only hold >1 legacy data part if a coalesce(1) write
+    # somehow split — never observed; the rename picks the first and
+    # the deletes converge the rest on the next call.)
+    from pyarrow.fs import FileSelector
+
+    legacy = sorted(
+        fi.path
+        for fi in fsys.get_file_info(FileSelector(base))
+        if fi.type == pafs.FileType.File
+        and fi.path.rsplit("/", 1)[-1] != "part-00000.parquet"
+        and not fi.path.rsplit("/", 1)[-1].startswith((".", "_"))
+    )
+    if legacy:
+        if fsys.get_file_info(final).type == pafs.FileType.NotFound:
+            fsys.move(legacy[0], final)
+            legacy = legacy[1:]
+        for p in legacy:
+            fsys.delete_file(p)
     tmp = base + "/.part-00000.parquet.tmp"
     with fsys.open_output_stream(tmp) as out:
         pq.write_table(tbl, out)
     fsys.move(tmp, final)
-    # A legacy Spark-written dir may hold differently-named part files
-    # (+ _SUCCESS); clear them AFTER the new file is durable. The
-    # brief two-file window only exists once, transitioning off the
-    # old layout — never on the steady-state fold-close path.
-    from pyarrow.fs import FileSelector
-
-    for fi in fsys.get_file_info(FileSelector(base)):
-        name = fi.path.rsplit("/", 1)[-1]
-        if fi.type == pafs.FileType.File and name != "part-00000.parquet" \
-                and not name.startswith((".", "_")):
-            fsys.delete_file(fi.path)
 
 
 def read_manifest(spark: SparkSession, paths: IndexPaths) -> DataFrame:

@@ -720,17 +720,22 @@ def test_get_definition_assignment_forms(spark, tmp_path):
     from mantic_sh_spark.operators.index_build import build_index
 
     pages = spark.createDataFrame(pd.DataFrame({
-        "url": [f"https://ex.com/a{i}" for i in range(5)],
-        "warc_ts": pd.to_datetime(["2026-01-01"] * 5),
-        "html": [b""] * 5,
+        "url": [f"https://ex.com/a{i}" for i in range(7)],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * 7),
+        "html": [b""] * 7,
         "text": [
             "export parseHtml = function (s) { return s }",
             "parseHtml = async () => { await fetchIt() }",
             "makeToken = lambda s: s.strip()",
             "calls parseHtml here and parseHtml there only",
             "def parseHtml means the keyword form still wins",
+            # prose REFERENCE, not a definition: determiner guard must
+            # drop the [parse, html, function] trailer match here
+            "please call the parseHtml function with a string",
+            # prose with 'a': same guard, different determiner
+            "wrap a parseHtml function call in retries",
         ],
-        "lang": ["en"] * 5,
+        "lang": ["en"] * 7,
     }))
     idx = str(tmp_path / "defidx2")
     build_index(spark, pages, idx, n_segments=1, store_positions=True)
@@ -750,6 +755,10 @@ def test_get_definition_assignment_forms(spark, tmp_path):
     # a0 tokens: [export, parse, html, function, s, ...] → symbol at 1
     assert by_url["https://ex.com/a0"]["position"] == 1
     assert by_url["https://ex.com/a1"]["position"] == 0
+
+    # the prose-reference docs ("the/a parseHtml function") must not
+    # appear at all — the determiner guard drops those trailer matches
+    assert "https://ex.com/a5" not in by_url and "https://ex.com/a6" not in by_url
 
     lam = reader.definitions("makeToken", k=10)
     assert [d["keyword"] for d in lam] == ["=lambda"]
