@@ -153,15 +153,20 @@ def _build_phase(cores: int, pages_path: str, index_dir: str, master: str | None
     # per-JVM whole-stage-codegen JIT of every build stage, and the
     # Python-worker pool spawn are session fixtures a long-lived
     # cluster doesn't pay per build — charging them to the timed
-    # region depressed the small/slow leg's apparent scaling. A tiny
-    # throwaway build (2k docs) exercises the full pipeline once:
-    # measured r5 at the hi leg, it removes ~10 s of per-JVM cold cost
-    # (docs stage −4.9 s JIT, postings −4.9 s worker spawn + codegen)
-    # that is FLAT across parallelism levels.
+    # region depressed the small/slow leg's apparent scaling. A small
+    # throwaway build exercises the full pipeline once AT THE REAL
+    # SHAPE (same n_segments, so the same exchange partitioning and —
+    # in the cluster form — every executor-pair shuffle channel warms):
+    # measured r5, the 2k/2-segment warmup removed ~10 s of per-JVM
+    # cold cost but the hi cluster leg still paid ~1.9 s of first-run
+    # shuffle-path warmup inside the docs stage that the lo leg did
+    # not (docs decomp probe: hi rep0 4.1-4.5 s vs rep1 2.6 s, lo
+    # rep0 == rep1), mis-read as docs-stage scaling 0.42 vs its real
+    # 0.54-0.62.
     pages.limit(1).count()
     warm_dir = f"{index_dir}_warmup"
     shutil.rmtree(warm_dir, ignore_errors=True)
-    build_index(spark, pages.limit(2000), warm_dir, n_segments=2)
+    build_index(spark, pages.limit(20000), warm_dir, n_segments=SEGMENTS)
     shutil.rmtree(warm_dir, ignore_errors=True)
     t0 = time.time()
     build_index(spark, pages, index_dir, n_segments=SEGMENTS,
