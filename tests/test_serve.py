@@ -763,3 +763,37 @@ def test_get_definition_assignment_forms(spark, tmp_path):
     lam = reader.definitions("makeToken", k=10)
     assert [d["keyword"] for d in lam] == ["=lambda"]
     assert lam[0]["url"] == "https://ex.com/a2"
+
+
+def test_decoded_lru_budget_and_generation_guard():
+    """_DecodedLRU: byte-budget eviction (oldest first), oversized
+    entries served-but-never-cached, and the generation guard — a put
+    whose decode started before clear() must be dropped, never
+    installed into the new generation (review r5 finding)."""
+    import numpy as np
+
+    from mantic_sh_spark.serve import _DecodedLRU, _NsDecodeCache
+
+    lru = _DecodedLRU(budget_bytes=100)
+    a = np.zeros(5, dtype=np.int64)   # 40 bytes
+    b = np.zeros(5, dtype=np.int64)
+    c = np.zeros(5, dtype=np.int64)
+    lru.put(("k", "a"), (a,))
+    lru.put(("k", "b"), (b,))
+    assert lru.get(("k", "a")) is not None
+    lru.put(("k", "c"), (c,))  # 120 bytes total → evict LRU entry ("b")
+    assert lru.get(("k", "b")) is None
+    assert lru.get(("k", "a")) is not None and lru.get(("k", "c")) is not None
+    # oversized: served but never cached
+    lru.put(("k", "big"), (np.zeros(100, dtype=np.int64),))
+    assert lru.get(("k", "big")) is None
+
+    # generation guard: adapter pinned pre-clear, put after clear → dropped
+    ns = _NsDecodeCache(lru, ("k", 0))
+    lru.clear()
+    ns.put("stale", (a,))
+    assert lru.get(("k", 0, "stale")) is None
+    # a fresh adapter (post-clear) installs normally
+    ns2 = _NsDecodeCache(lru, ("k", 0))
+    ns2.put("fresh", (a,))
+    assert ns2.get("fresh") is not None
