@@ -205,6 +205,7 @@ class IndexReader:
         self._blocks_lru: OrderedDict[str, "object"] = OrderedDict()
         self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
         self._decoded = _DecodedLRU(_DECODE_BUDGET)
+        self._tier_ds_cache: dict[int, "object"] = {}
         self._df_cache: dict[str, tuple[int, int]] = {}  # term → (df, tid)
         # truncated is THREAD-LOCAL: under serve_loop concurrency each
         # worker thread must see its own query's ST4 flag, not a racing
@@ -329,6 +330,7 @@ class IndexReader:
         self._terms = self._dataset_or_none(self.paths.terms)
         self._docs = self._dataset_or_none(self.paths.docs)
         self._tier_specs_cache = None
+        self._tier_ds_cache.clear()
         self._blocks_lru.clear()
         self._pos_lru.clear()
         self._decoded.clear()
@@ -930,26 +932,70 @@ class IndexReader:
         hits.sort(key=lambda x: (-x[1], x[0]))
         return hits[:k]
 
+    # Candidate count above which _scores_for_docs switches from the
+    # block-pruned per-block loop to one vectorized full-term decode:
+    # a head-term tier match can cover ~the whole corpus, where the
+    # per-block Python loop (~170 µs/block + a candidates-sized
+    # searchsorted PER BLOCK) ran 8-12 s while the full decode + one
+    # searchsorted is milliseconds (and LRU-cached for repeats).
+    _SCORES_SWEEP_MIN = 4096
+
     def _scores_for_docs(self, terms: list[str],
                          doc_ids: "np.ndarray") -> dict[int, float]:
-        """BM25 score of SPECIFIC docs for a term set (the bounded
-        lookup behind tiered serving): per term, decode only the hot-LRU
-        blocks whose [first_doc, last_doc] range intersects the sorted
-        candidate array and searchsorted the candidates in. Docs
-        matching no term score 0.0. Rounding matches rank_topk (4
+        """Dict form of _scores_array (session boost and other
+        bounded-set callers)."""
+        if not len(doc_ids):
+            return {}
+        arr = self._scores_array(terms, np.asarray(doc_ids, dtype=np.int64))
+        return {int(d): float(s) for d, s in zip(doc_ids, arr)}
+
+    def _scores_array(self, terms: list[str],
+                      doc_ids: "np.ndarray") -> "np.ndarray":
+        """BM25 score of SPECIFIC docs for a term set, aligned to the
+        SORTED input array (the bounded lookup behind tiered serving):
+        for small candidate sets, decode only the hot-LRU blocks whose
+        [first_doc, last_doc] range intersects the candidate range and
+        searchsorted the candidates in; above _SCORES_SWEEP_MIN
+        candidates, decode each term in full (doc-sorted,
+        decoded-LRU-cached under ("s", term)) and do ONE searchsorted.
+        Docs matching no term score 0.0. Rounding matches rank_topk (4
         decimals) so tier ladders rank identically to the batch mode."""
         from .functions.codec import decode_block
 
         out = np.zeros(len(doc_ids), dtype=np.float64)
         if not len(doc_ids):
-            return {}
+            return out
         dfs = self.df(terms)
         idf_map = {t: idf_fn(self.n_docs, dfs[t]) for t in terms if dfs[t] > 0}
         if idf_map:
+            dgen = self._decoded.generation  # pin BEFORE the frame fetch
             blocks = self._blocks(sorted(idf_map))
             lo, hi = int(doc_ids[0]), int(doc_ids[-1])
+            sweep = len(doc_ids) >= self._SCORES_SWEEP_MIN
             for t, pdf in blocks.items():
                 if not len(pdf):
+                    continue
+                if sweep:
+                    from .operators.wand import _decode_term_all
+
+                    cache = _NsDecodeCache(self._decoded, ("s", -1), dgen)
+                    dec = cache.get(t)
+                    if dec is None:
+                        d, tf, dl = _decode_term_all(pdf)
+                        order = np.argsort(d, kind="stable")
+                        dec = (d[order], tf[order], dl[order])
+                        cache.put(t, dec)
+                    d, tf, dl = dec
+                    j = np.searchsorted(d, doc_ids)
+                    ok = (j < len(d)) & (d[np.minimum(j, len(d) - 1)] == doc_ids)
+                    if not ok.any():
+                        continue
+                    tfv = tf[j[ok]].astype(np.float64)
+                    dlv = dl[j[ok]].astype(np.float64)
+                    out[ok] += (
+                        idf_map[t] * tfv * (self.k1 + 1.0)
+                        / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
+                    )
                     continue
                 sel = pdf[(pdf["first_doc"] <= hi) & (pdf["last_doc"] >= lo)]
                 for gaps, tfs, dls in zip(sel["doc_gaps"], sel["tfs"], sel["dls"]):
@@ -964,7 +1010,7 @@ class IndexReader:
                         idf_map[t] * tfv * (self.k1 + 1.0)
                         / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
                     )
-        return {int(d): round(float(s), 4) for d, s in zip(doc_ids, out)}
+        return np.round(out, 4)
 
     def _tier_specs(self) -> list[tuple[int, str]]:
         """Ordered (ord, field-dir name) pairs from tier_index_meta, or
@@ -1025,20 +1071,47 @@ class IndexReader:
             return []
         tids = {term_tid(t) for t in terms}
         n_tiers = len(specs)
+        dgen = self._decoded.generation  # pin BEFORE any tier probe
 
         # tier membership: intersect each field's per-tid doc lists;
-        # first (best) tier wins per doc
-        tier_of: dict[int, int] = {}
+        # first (best) tier wins per doc. Doc lists ride the decoded
+        # LRU (namespace ("t", field) — zipfian query terms repeat) and
+        # the dataset HANDLES are cached per refresh: per-query
+        # ds.dataset() re-discovery was a fixed several-ms cost, and a
+        # stale handle after an external mutation raises OSError into
+        # the _self_heal refresh+retry like every other surface.
+        # Membership/ranking is ARRAY-shaped end to end: a head term
+        # tier-matches a large corpus share, and the former per-doc
+        # dict/list/sort Python loops were ~0.8 s at 300k matches where
+        # the vectorized form is milliseconds.
+        cand_parts: list = []
+        tier_parts: list = []
         for ordi, name in specs:
-            d = ds.dataset(f"{self.paths.tier_index}/field={ordi}_{name}",
-                           format="parquet")
-            tbl = d.to_table(filter=ds.field("tid").isin(sorted(tids)),
-                             columns=["tid", "doc_id"])
+            with self._lock:
+                d = self._tier_ds_cache.get(ordi)
+            if d is None:
+                d = ds.dataset(f"{self.paths.tier_index}/field={ordi}_{name}",
+                               format="parquet")
+                with self._lock:
+                    self._tier_ds_cache[ordi] = d
+            cache = _NsDecodeCache(self._decoded, ("t", ordi), dgen)
             by_tid: dict[int, np.ndarray] = {}
-            tid_arr = tbl.column("tid").to_numpy()
-            doc_arr = tbl.column("doc_id").to_numpy()
+            missing = []
             for tid in tids:
-                by_tid[tid] = doc_arr[tid_arr == tid]
+                hit = cache.get(tid)
+                if hit is None:
+                    missing.append(tid)
+                else:
+                    by_tid[tid] = hit
+            if missing:
+                tbl = d.to_table(filter=ds.field("tid").isin(sorted(missing)),
+                                 columns=["tid", "doc_id"])
+                tid_arr = tbl.column("tid").to_numpy()
+                doc_arr = tbl.column("doc_id").to_numpy()
+                for tid in missing:
+                    arr = doc_arr[tid_arr == tid]
+                    cache.put(tid, arr)
+                    by_tid[tid] = arr
             if any(not len(v) for v in by_tid.values()):
                 continue
             lists = sorted(by_tid.values(), key=len)
@@ -1047,36 +1120,49 @@ class IndexReader:
                 cand = np.intersect1d(cand, arr)
                 if not len(cand):
                     break
-            for doc in cand.tolist():
-                tier_of.setdefault(int(doc), ordi)
+            if len(cand):
+                cand_parts.append(cand)
+                tier_parts.append(np.full(len(cand), ordi, dtype=np.int64))
+
+        if cand_parts:
+            # first occurrence in tier order = best tier per doc
+            docs_all = np.concatenate(cand_parts)
+            tiers_all = np.concatenate(tier_parts)
+            uniq, first = np.unique(docs_all, return_index=True)
+            tier_arr = tiers_all[first]
+        else:
+            uniq = np.empty(0, dtype=np.int64)
+            tier_arr = np.empty(0, dtype=np.int64)
 
         # liveness: drop tombstoned docs from tier membership
-        if tier_of and self._dead_segs:
+        if len(uniq) and self._dead_segs:
+            live = np.ones(len(uniq), dtype=bool)
             for seg in self._dead_segs:
                 dead = self._dead(seg)
                 if dead is None:
                     continue
-                ids = np.fromiter(tier_of, dtype=np.int64)
-                j = np.searchsorted(dead, ids)
-                hit = (j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)] == ids)
-                for doc in ids[hit].tolist():
-                    tier_of.pop(int(doc), None)
+                j = np.searchsorted(dead, uniq)
+                live &= ~((j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)] == uniq))
+            uniq, tier_arr = uniq[live], tier_arr[live]
 
-        tier_docs = np.array(sorted(tier_of), dtype=np.int64)
-        scores = self._scores_for_docs(terms, tier_docs)
-        rows = [(d, tier_of[d], scores[d]) for d in tier_of]
-        if len(tier_of) < k:
+        scores = self._scores_array(terms, uniq)
+        n_matched = len(uniq)
+        if n_matched < k:
             # final tier: ordinary WAND top-k, minus the tier-matched
             # docs (fetch enough extra to survive the exclusion — < 2k).
             # When k or more docs tier-matched, final-tier rows can
-            # never reach rows[:k] (tier sorts first): skip the run.
-            for d, s in self.topk(query, k=k + len(tier_of)):
-                if d not in tier_of:
-                    rows.append((d, n_tiers, s))
+            # never reach the top k (tier sorts first): skip the run.
+            matched = set(uniq.tolist())
+            fill = [(d, s) for d, s in self.topk(query, k=k + n_matched)
+                    if d not in matched]
+            if fill:
+                uniq = np.concatenate([uniq, np.array([d for d, _ in fill], dtype=np.int64)])
+                tier_arr = np.concatenate([tier_arr, np.full(len(fill), n_tiers, dtype=np.int64)])
+                scores = np.concatenate([scores, np.array([s for _, s in fill], dtype=np.float64)])
         else:
             self._record_stats(stats, t0)
-        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
-        return rows[:k]
+        order = np.lexsort((uniq, -scores, tier_arr))[:k]
+        return [(int(uniq[i]), int(tier_arr[i]), float(scores[i])) for i in order]
 
     def references(self, symbol: str, k: int = 10,
                    max_positions: int = 100) -> list[dict]:
