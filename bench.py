@@ -357,6 +357,7 @@ def _query_phase(cores: int, index_dir: str, pages_path: str) -> dict:
     return {
         "serve_p50_s": slat[len(slat) // 2],
         "tiered_p50_s": tlat[len(tlat) // 2],
+        "tiered_p90_s": tlat[int(len(tlat) * 0.9)],
         "serve_p90_s": p90_lat,
         "serve_p90_fetch_s": round(p90_fetch, 4),
         "serve_cold_fetch_share": round(
@@ -515,6 +516,7 @@ def main() -> None:
     queries["phrase_stop_p50"] = round(qstats["phrase_stop_p50_s"], 4)
     queries["phrase_stop_fetch"] = qstats["phrase_stop_fetch_s"]
     queries["tiered_p50"] = round(qstats["tiered_p50_s"], 4)
+    queries["tiered_p90"] = round(qstats["tiered_p90_s"], 4)
     queries["wand_spark_p50"] = round(qstats["wand_spark_p50_s"], 4)
     queries["wand_batch30"] = round(qstats["wand_batch30_s"], 4)
 

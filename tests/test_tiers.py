@@ -165,3 +165,42 @@ def test_tier_index_gates_crashed_extend_fold(spark, tmp_path, monkeypatch):
     reader = IndexReader(idx)
     assert reader.tiered_topk("zzzorphan", k=8) == []
     assert reader.tiered_topk("w1x w2x", k=8) == before
+
+
+def test_scores_sweep_path_matches_block_path(spark, small_corpus, monkeypatch):
+    """_scores_array has two internal strategies: the block-pruned
+    per-block loop (small candidate sets) and the vectorized full-term
+    decode taken above _SCORES_SWEEP_MIN candidates (head-term tier
+    matches — serve.py). Tier parity tests run below the threshold, so
+    pin sweep == block directly over every live doc, including docs
+    matching no term (score 0.0) and an absent term."""
+    import numpy as np
+
+    idx = small_corpus["index_dir"]
+    docs = np.sort(
+        np.array(
+            [r.doc_id for r in
+             spark.read.parquet(f"{idx}/docs").select("doc_id").collect()],
+            dtype=np.int64,
+        )
+    )
+    terms = ["w1x", "w2x", "qqabsentterm"]
+
+    block_reader = IndexReader(idx)
+    assert len(docs) < block_reader._SCORES_SWEEP_MIN  # really the block path
+    block = block_reader._scores_array(terms, docs)
+
+    monkeypatch.setattr(IndexReader, "_SCORES_SWEEP_MIN", 1)
+    sweep_reader = IndexReader(idx)
+    sweep = sweep_reader._scores_array(terms, docs)
+
+    assert block.shape == sweep.shape == docs.shape
+    assert (block > 0).any() and (block == 0).any()
+    assert np.array_equal(block, sweep)
+
+    # the dict wrapper rides the same path and rounds identically
+    d = sweep_reader._scores_for_docs(terms, docs)
+    assert d == {int(k): float(v) for k, v in zip(docs, block)}
+
+    # repeat query hits the decoded ("s", ·) namespace, same answer
+    assert np.array_equal(sweep_reader._scores_array(terms, docs), block)
