@@ -69,6 +69,17 @@ _GLOBAL_TAAT_SPILL = 2_000_000
 # nothing and the window is fold-bounded.
 _DEAD_UNION_CAP = 8_000_000
 
+
+class TierBudgetExceeded(ValueError):
+    """A tiered query where EVERY term's tier-field doc list exceeds
+    the reader's materialization budget (IndexReader._TIER_DF_CAP):
+    the tier ladder's semantics require ranking every tier-matched doc,
+    and with no small list to intersect against the match set is a
+    corpus-share array this one process refuses to hold. Run such
+    queries through the batch operator (operators/query.tiered_topk —
+    a distributed full-corpus pass, the semantics' native cost), or
+    raise the cap on a reader with the memory to back it."""
+
 # Byte budget for the per-segment tombstone-array cache (the sweep's
 # liveness input): without it a query mix touching every segment of a
 # heavily-churned index would converge _dead_cache to the full
@@ -346,7 +357,8 @@ class IndexReader:
         self.totals = {"queries": 0, "segments_touched": 0,
                        "blocks_considered": 0, "blocks_decoded": 0,
                        "terms_cold": 0, "global_fallbacks": 0,
-                       "dead_union_fallbacks": 0, "decoded_hits": 0}
+                       "dead_union_fallbacks": 0, "decoded_hits": 0,
+                       "tier_stream_intersects": 0}
 
     @staticmethod
     def _dataset_or_none(path: str):
@@ -839,7 +851,8 @@ class IndexReader:
             self.totals["queries"] += 1
             for key in ("segments_touched", "blocks_considered",
                         "blocks_decoded", "terms_cold", "global_fallbacks",
-                        "dead_union_fallbacks", "decoded_hits"):
+                        "dead_union_fallbacks", "decoded_hits",
+                        "tier_stream_intersects"):
                 self.totals[key] += stats.get(key, 0)
 
     def counters(self) -> dict:
@@ -940,6 +953,26 @@ class IndexReader:
     # searchsorted is milliseconds (and LRU-cached for repeats).
     _SCORES_SWEEP_MIN = 4096
 
+    # Memory budgets for head terms at corpus scale (both are per-term
+    # ROW counts; neither can trigger below ~5M docs, so the common
+    # path pays nothing for them):
+    # - _TIER_DF_CAP bounds any per-(field, tid) doc list this reader
+    #   will MATERIALIZE for tier membership (5M rows = 40 MB int64).
+    #   A term whose body df exceeds it gets one pushed-down count
+    #   probe (the windowed tier list is usually far smaller than the
+    #   body df); a genuinely-huge list is intersected by STREAMING
+    #   scan against the already-bounded candidate set instead of
+    #   materializing, and a field where EVERY list is huge raises
+    #   TierBudgetExceeded — ranking a corpus-share tier is the batch
+    #   operator's job, not one process's.
+    # - _SWEEP_DF_CAP bounds which terms the _scores_array sweep will
+    #   decode IN FULL (decoded form is ~24 B/posting vs ~1-2 B
+    #   compressed in the resident frame): above it the term scores
+    #   via the per-block path — slower per block, but memory stays
+    #   within the frame envelope every other serving path already has.
+    _TIER_DF_CAP = 5_000_000
+    _SWEEP_DF_CAP = 20_000_000
+
     def _scores_for_docs(self, terms: list[str],
                          doc_ids: "np.ndarray") -> dict[int, float]:
         """Dict form of _scores_array (session boost and other
@@ -975,7 +1008,11 @@ class IndexReader:
             for t, pdf in blocks.items():
                 if not len(pdf):
                     continue
-                if sweep:
+                # a head term past _SWEEP_DF_CAP never full-decodes
+                # (decoded form is ~24 B/posting); it scores via the
+                # per-block path below, which stays within the frame's
+                # memory envelope
+                if sweep and dfs[t] <= self._SWEEP_DF_CAP:
                     from .operators.wand import _decode_term_all
 
                     cache = _NsDecodeCache(self._decoded, ("s", -1), dgen)
@@ -1031,6 +1068,26 @@ class IndexReader:
         self._tier_specs_cache = specs
         return specs
 
+    @staticmethod
+    def _tier_stream_intersect(d, tid: int, cand: "np.ndarray") -> "np.ndarray":
+        """cand ∩ (tid's tier doc list) WITHOUT materializing the list:
+        scan its rows in record batches and flag candidate membership
+        via searchsorted. Memory = the candidate array (≤ _TIER_DF_CAP
+        by construction) + one batch; the huge list is never resident
+        and never cached. cand must be sorted (np.unique/intersect1d
+        outputs are)."""
+        import pyarrow.dataset as ds
+
+        keep = np.zeros(len(cand), dtype=bool)
+        scanner = d.scanner(filter=ds.field("tid") == tid,
+                            columns=["doc_id"], batch_size=1 << 17)
+        for batch in scanner.to_batches():
+            arr = batch.column(0).to_numpy()
+            j = np.searchsorted(cand, arr)
+            ok = (j < len(cand)) & (cand[np.minimum(j, len(cand) - 1)] == arr)
+            keep[j[ok]] = True
+        return cand[keep]
+
     def tiered_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
         return self._self_heal(lambda: self._tiered_topk_impl(query, k))
 
@@ -1070,6 +1127,11 @@ class IndexReader:
             self._record_stats(stats, t0)
             return []
         tids = {term_tid(t) for t in terms}
+        # body df bounds every tier-field list for the same term (tier
+        # fields are token windows of the same text) — the free signal
+        # the materialization budget gates on; cached, so the later
+        # _scores_array call pays nothing extra
+        df_by_tid = {term_tid(t): n for t, n in self.df(terms).items()}
         n_tiers = len(specs)
         dgen = self._decoded.generation  # pin BEFORE any tier probe
 
@@ -1097,12 +1159,23 @@ class IndexReader:
             cache = _NsDecodeCache(self._decoded, ("t", ordi), dgen)
             by_tid: dict[int, np.ndarray] = {}
             missing = []
+            suspects = []
             for tid in tids:
                 hit = cache.get(tid)
-                if hit is None:
-                    missing.append(tid)
-                else:
+                if hit is not None:
                     by_tid[tid] = hit
+                elif df_by_tid[tid] > self._TIER_DF_CAP:
+                    suspects.append(tid)  # body df bounds the tier list
+                else:
+                    missing.append(tid)
+            huge = []
+            for tid in sorted(suspects):
+                # one pushed-down count decides: the windowed tier list
+                # is usually far smaller than the body df
+                if d.count_rows(filter=ds.field("tid") == tid) > self._TIER_DF_CAP:
+                    huge.append(tid)
+                else:
+                    missing.append(tid)
             if missing:
                 tbl = d.to_table(filter=ds.field("tid").isin(sorted(missing)),
                                  columns=["tid", "doc_id"])
@@ -1114,12 +1187,25 @@ class IndexReader:
                     by_tid[tid] = arr
             if any(not len(v) for v in by_tid.values()):
                 continue
+            if huge and not by_tid:
+                raise TierBudgetExceeded(
+                    f"every query term's doc list in tier field {name!r} "
+                    f"exceeds _TIER_DF_CAP={self._TIER_DF_CAP} rows; this "
+                    "reader will not materialize a corpus-share tier — "
+                    "use operators/query.tiered_topk (batch) or raise the cap"
+                )
             lists = sorted(by_tid.values(), key=len)
             cand = np.unique(lists[0])
             for arr in lists[1:]:
                 cand = np.intersect1d(cand, arr)
                 if not len(cand):
                     break
+            for tid in huge:
+                if not len(cand):
+                    break
+                stats["tier_stream_intersects"] = (
+                    stats.get("tier_stream_intersects", 0) + 1)
+                cand = self._tier_stream_intersect(d, tid, cand)
             if len(cand):
                 cand_parts.append(cand)
                 tier_parts.append(np.full(len(cand), ordi, dtype=np.int64))

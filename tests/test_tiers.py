@@ -204,3 +204,66 @@ def test_scores_sweep_path_matches_block_path(spark, small_corpus, monkeypatch):
 
     # repeat query hits the decoded ("s", ·) namespace, same answer
     assert np.array_equal(sweep_reader._scores_array(terms, docs), block)
+
+
+def test_tier_budget_guard(spark, tmp_path, monkeypatch):
+    """Head-term memory budgets on the tiered serving path: a term
+    whose tier doc list exceeds _TIER_DF_CAP is intersected by a
+    STREAMING scan (never materialized) with rank-identical results; a
+    field where EVERY query term is over-cap refuses loudly
+    (TierBudgetExceeded) instead of materializing a corpus-share
+    array; _SWEEP_DF_CAP routes over-cap terms to the per-block scorer
+    with identical scores."""
+    import pandas as pd
+
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.serve import TierBudgetExceeded
+
+    n = 64
+    texts = []
+    for i in range(n):
+        # "common" leads every title window; "rare" only docs 5 and 9
+        head = "common rare" if i in (5, 9) else "common filler"
+        texts.append(f"{head} w{i % 7}x padder tokens follow here "
+                     f"body{i} trailing words beyond the windows")
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://ex.com/t{i}" for i in range(n)],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * n),
+        "html": [b""] * n,
+        "text": texts,
+        "lang": ["en"] * n,
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_tier_index(spark, idx)
+
+    base = IndexReader(idx)
+    want = base.tiered_topk("common rare", k=10)
+    assert want and any(t == 0 for _, t, _ in want)  # real tier hits
+
+    calls = []
+    orig = IndexReader._tier_stream_intersect
+
+    def spy(d, tid, cand):
+        calls.append(int(tid))
+        return orig(d, tid, cand)
+
+    monkeypatch.setattr(IndexReader, "_tier_stream_intersect", staticmethod(spy))
+
+    guarded = IndexReader(idx)
+    guarded._TIER_DF_CAP = 2  # df(rare)=2 materializes; "common" streams
+    assert guarded.tiered_topk("common rare", k=10) == want
+    assert calls  # the streaming path actually ran
+    assert guarded.tiered_topk("common rare", k=10) == want  # repeat: stable
+
+    # every term over-cap in a tier field → loud refusal, not an OOM
+    refuser = IndexReader(idx)
+    refuser._TIER_DF_CAP = 1
+    with pytest.raises(TierBudgetExceeded, match="tier field"):
+        refuser.tiered_topk("common", k=5)
+
+    # scorer budget: over-cap terms take the block path, same scores
+    swp = IndexReader(idx)
+    swp._SCORES_SWEEP_MIN = 1
+    swp._SWEEP_DF_CAP = 1
+    assert swp.tiered_topk("common rare", k=10) == want
