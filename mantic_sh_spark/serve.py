@@ -217,6 +217,7 @@ class IndexReader:
         self._pos_lru: OrderedDict[str, "object"] = OrderedDict()
         self._decoded = _DecodedLRU(_DECODE_BUDGET)
         self._tier_ds_cache: dict[int, "object"] = {}
+        self._tier_over_cap: dict[tuple[int, int], bool] = {}
         self._df_cache: dict[str, tuple[int, int]] = {}  # term → (df, tid)
         # truncated is THREAD-LOCAL: under serve_loop concurrency each
         # worker thread must see its own query's ST4 flag, not a racing
@@ -342,6 +343,7 @@ class IndexReader:
         self._docs = self._dataset_or_none(self.paths.docs)
         self._tier_specs_cache = None
         self._tier_ds_cache.clear()
+        self._tier_over_cap.clear()
         self._blocks_lru.clear()
         self._pos_lru.clear()
         self._decoded.clear()
@@ -849,10 +851,12 @@ class IndexReader:
         with self._lock:
             self._last_shared = stats
             self.totals["queries"] += 1
+            # tier_stream_intersects is NOT aggregated here: it counts
+            # straight into totals at the stream site (the tiered fill
+            # path hands stats recording to topk(), which would drop it)
             for key in ("segments_touched", "blocks_considered",
                         "blocks_decoded", "terms_cold", "global_fallbacks",
-                        "dead_union_fallbacks", "decoded_hits",
-                        "tier_stream_intersects"):
+                        "dead_union_fallbacks", "decoded_hits"):
                 self.totals[key] += stats.get(key, 0)
 
     def counters(self) -> dict:
@@ -1023,31 +1027,31 @@ class IndexReader:
                         dec = (d[order], tf[order], dl[order])
                         cache.put(t, dec)
                     d, tf, dl = dec
-                    j = np.searchsorted(d, doc_ids)
-                    ok = (j < len(d)) & (d[np.minimum(j, len(d) - 1)] == doc_ids)
-                    if not ok.any():
-                        continue
-                    tfv = tf[j[ok]].astype(np.float64)
-                    dlv = dl[j[ok]].astype(np.float64)
-                    out[ok] += (
-                        idf_map[t] * tfv * (self.k1 + 1.0)
-                        / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
-                    )
+                    self._bm25_accumulate(out, doc_ids, d, tf, dl, idf_map[t])
                     continue
                 sel = pdf[(pdf["first_doc"] <= hi) & (pdf["last_doc"] >= lo)]
                 for gaps, tfs, dls in zip(sel["doc_gaps"], sel["tfs"], sel["dls"]):
                     d, tf, dl = decode_block(gaps, tfs, dls)
-                    j = np.searchsorted(d, doc_ids)
-                    ok = (j < len(d)) & (d[np.minimum(j, len(d) - 1)] == doc_ids)
-                    if not ok.any():
-                        continue
-                    tfv = tf[j[ok]].astype(np.float64)
-                    dlv = dl[j[ok]].astype(np.float64)
-                    out[ok] += (
-                        idf_map[t] * tfv * (self.k1 + 1.0)
-                        / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
-                    )
+                    self._bm25_accumulate(out, doc_ids, d, tf, dl, idf_map[t])
         return np.round(out, 4)
+
+    def _bm25_accumulate(self, out: "np.ndarray", doc_ids: "np.ndarray",
+                         d: "np.ndarray", tf: "np.ndarray", dl: "np.ndarray",
+                         idf: float) -> None:
+        """Add one term's BM25 contribution for the doc-sorted postings
+        (d, tf, dl) into `out` aligned to sorted `doc_ids` — the ONE
+        copy of the scoring formula both _scores_array strategies share
+        (sweep full-decode and per-block), so they cannot diverge."""
+        j = np.searchsorted(d, doc_ids)
+        ok = (j < len(d)) & (d[np.minimum(j, len(d) - 1)] == doc_ids)
+        if not ok.any():
+            return
+        tfv = tf[j[ok]].astype(np.float64)
+        dlv = dl[j[ok]].astype(np.float64)
+        out[ok] += (
+            idf * tfv * (self.k1 + 1.0)
+            / (tfv + self.k1 * (1.0 - self.b + self.b * dlv / self.avgdl))
+        )
 
     def _tier_specs(self) -> list[tuple[int, str]]:
         """Ordered (ord, field-dir name) pairs from tier_index_meta, or
@@ -1148,6 +1152,7 @@ class IndexReader:
         # the vectorized form is milliseconds.
         cand_parts: list = []
         tier_parts: list = []
+        epoch0 = self._epoch  # cache installs below re-check this
         for ordi, name in specs:
             with self._lock:
                 d = self._tier_ds_cache.get(ordi)
@@ -1155,7 +1160,11 @@ class IndexReader:
                 d = ds.dataset(f"{self.paths.tier_index}/field={ordi}_{name}",
                                format="parquet")
                 with self._lock:
-                    self._tier_ds_cache[ordi] = d
+                    # don't resurrect a pre-refresh handle into the
+                    # just-cleared cache (same discipline as _df_cache
+                    # and the decoded LRU's generation guard)
+                    if self._epoch == epoch0:
+                        self._tier_ds_cache[ordi] = d
             cache = _NsDecodeCache(self._decoded, ("t", ordi), dgen)
             by_tid: dict[int, np.ndarray] = {}
             missing = []
@@ -1168,11 +1177,33 @@ class IndexReader:
                     suspects.append(tid)  # body df bounds the tier list
                 else:
                     missing.append(tid)
+            if suspects and cand_parts and k <= sum(map(len, cand_parts)):
+                # earlier tiers sort above this one, so once they hold
+                # ≥ k UNIQUE docs this field cannot reach the top k —
+                # skip the probes, the streams, and (critically) the
+                # refusal: a query whose answer is already pinned by an
+                # earlier tier must never error on a later head-term
+                # field. parts can overlap across tiers, so confirm
+                # with the deduped count only when the cheap sum passes.
+                if k <= len(np.unique(np.concatenate(cand_parts))):
+                    continue
             huge = []
             for tid in sorted(suspects):
-                # one pushed-down count decides: the windowed tier list
-                # is usually far smaller than the body df
-                if d.count_rows(filter=ds.field("tid") == tid) > self._TIER_DF_CAP:
+                # one pushed-down count decides (verdict cached per
+                # epoch — zipfian head terms repeat, and the probe is
+                # a filtered column scan worth paying once, not per
+                # query): the windowed tier list is often far smaller
+                # than the body df
+                key = (ordi, tid)
+                with self._lock:
+                    over = self._tier_over_cap.get(key)
+                if over is None:
+                    over = (d.count_rows(filter=ds.field("tid") == tid)
+                            > self._TIER_DF_CAP)
+                    with self._lock:
+                        if self._epoch == epoch0:
+                            self._tier_over_cap[key] = over
+                if over:
                     huge.append(tid)
                 else:
                     missing.append(tid)
@@ -1203,6 +1234,13 @@ class IndexReader:
             for tid in huge:
                 if not len(cand):
                     break
+                # counted straight into totals: the <k fill path hands
+                # stats recording to topk(), which would drop a
+                # stats-dict-only increment — and a huge term cut down
+                # to few matches by a selective term is the COMMON
+                # streaming shape
+                with self._lock:
+                    self.totals["tier_stream_intersects"] += 1
                 stats["tier_stream_intersects"] = (
                     stats.get("tier_stream_intersects", 0) + 1)
                 cand = self._tier_stream_intersect(d, tid, cand)

@@ -254,6 +254,8 @@ def test_tier_budget_guard(spark, tmp_path, monkeypatch):
     guarded._TIER_DF_CAP = 2  # df(rare)=2 materializes; "common" streams
     assert guarded.tiered_topk("common rare", k=10) == want
     assert calls  # the streaming path actually ran
+    # counted into totals even though the <k fill path ran (2 matches)
+    assert guarded.counters()["total"]["tier_stream_intersects"] == len(calls)
     assert guarded.tiered_topk("common rare", k=10) == want  # repeat: stable
 
     # every term over-cap in a tier field → loud refusal, not an OOM
@@ -267,3 +269,46 @@ def test_tier_budget_guard(spark, tmp_path, monkeypatch):
     swp._SCORES_SWEEP_MIN = 1
     swp._SWEEP_DF_CAP = 1
     assert swp.tiered_topk("common rare", k=10) == want
+
+
+def test_tier_budget_skips_later_fields_once_topk_pinned(spark, tmp_path):
+    """A query whose top k is already pinned by an earlier tier must
+    NEVER refuse on a later all-over-cap field (later tiers sort below
+    k earlier-tier docs, so neither the probe, the stream, nor the
+    refusal can change the answer). The lead window (30) is a superset
+    of the title window (8), so a term placed at positions 1 and ~11
+    has a small title count but a large lead count."""
+    import pandas as pd
+
+    from mantic_sh_spark.operators.index_build import build_index
+
+    texts = []
+    for i in range(12):   # xterm inside the title window
+        texts.append(f"xterm lead{i} words here pad pad pad pad tail{i}")
+    for i in range(20):   # xterm at position 11: lead window only
+        texts.append("a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 xterm "
+                     f"mid{i} trailing words")
+    for i in range(8):    # filler, no xterm
+        texts.append(f"filler only document number f{i} nothing else")
+    n = len(texts)
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://ex.com/p{i}" for i in range(n)],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * n),
+        "html": [b""] * n,
+        "text": texts,
+        "lang": ["en"] * n,
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_tier_index(spark, idx)
+
+    base = IndexReader(idx)
+    want = base.tiered_topk("xterm", k=5)
+    assert len(want) == 5 and all(t == 0 for _, t, _ in want)
+
+    guarded = IndexReader(idx)
+    # title count (12) == cap → materializes; lead count (32) > cap →
+    # the lead field is ALL-over-cap, but tier 0 already pinned the
+    # top 5, so the query must answer (pre-fix: TierBudgetExceeded)
+    guarded._TIER_DF_CAP = 12
+    assert guarded.tiered_topk("xterm", k=5) == want
