@@ -126,6 +126,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="persist session query history as a parquet table (S9)")
     sv.add_argument("--concurrency", type=int, default=1,
                     help="query worker threads (IndexReader is thread-safe)")
+    sv.add_argument("--prewarm", type=int, default=0, metavar="N",
+                    help="before serving, replay the N most recent distinct "
+                         "queries from --log-dir to fault the hot caches "
+                         "(cold p90 is ~50%% fetch; prewarmed repeats are ~ms)")
 
     mc = sub.add_parser("mcp", help="MCP stdio server (JSON-RPC; search_files tool "
                                     "backed by the long-lived reader — see "
@@ -139,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
         from .serve import serve_loop
 
         served = serve_loop(args.index, log_dir=args.log_dir,
-                            concurrency=args.concurrency)
+                            concurrency=args.concurrency,
+                            prewarm=args.prewarm)
         print(json.dumps({"served": served}), file=sys.stderr)
         return 0
 

@@ -6,7 +6,8 @@ The reference's flagship consumer surface is an MCP server whose
 surface for this engine: a stdio JSON-RPC 2.0 loop (newline-delimited
 messages, the MCP stdio transport) exposing
 
-  * search_files    — BM25 / phrase / proximity top-k with urls
+  * search_files    — BM25 / phrase / proximity / tier-ladder top-k
+    with urls
   * find_references — per-doc token positions of a symbol (the
     reference's positional lookup tool, src/mcp-server.ts:763-847 —
     served from positional postings, not an AST walk)
@@ -58,7 +59,8 @@ TOOLS = [
         "description": (
             "Full-text search over the indexed corpus. Returns the top-k "
             "documents ranked by BM25 (or exact/sloppy phrase match when "
-            "phrase=true), with their urls and scores."
+            "phrase=true, or the exact-title-match-wins tier ladder when "
+            "tiered=true), with their urls and scores."
         ),
         "inputSchema": {
             "type": "object",
@@ -67,6 +69,10 @@ TOOLS = [
                 "maxResults": {"type": "integer", "default": 10, "minimum": 1},
                 "phrase": {"type": "boolean", "default": False,
                            "description": "exact in-order phrase match (positional index)"},
+                "tiered": {"type": "boolean", "default": False,
+                           "description": "R1 tier ladder: exact title/lead "
+                                          "containment ranks above BM25 "
+                                          "(requires a built tier index)"},
                 "slop": {"type": "integer", "default": 0,
                          "description": "max extra tokens a phrase match may stretch"},
                 "snippets": {"type": "boolean", "default": True,
@@ -339,7 +345,28 @@ class McpServer:
             )
             k = int(args.get("maxResults", 10))
             sid = args.get("sessionId")
-            if sid:
+            if args.get("tiered"):
+                # R1 ladder is its own ranking mode: phrase and session
+                # boost re-rank BM25 scores, which a tier column would
+                # silently contradict — refuse the combination loudly
+                if kw["phrase"] or sid:
+                    raise ValueError(
+                        "tiered=true is exclusive with phrase/sessionId")
+                from .functions.tokenize import tokenize_query
+
+                rows = reader.tiered_topk(args["query"], k=k)
+                ids = [d for d, _, _ in rows]
+                url_map = reader.urls(ids)
+                snip_map = (reader.snippets(ids, tokenize_query(args["query"]))
+                            if kw["with_snippets"] else {})
+                results = [
+                    {"rank": i + 1, "doc_id": d, "tier": t, "score": s,
+                     "url": url_map.get(d),
+                     **({"snippet": snip_map.get(d)}
+                        if kw["with_snippets"] else {})}
+                    for i, (d, t, s) in enumerate(rows)
+                ]
+            elif sid:
                 from .sessions import boosted_search
 
                 store = self._store_for(reader)

@@ -797,3 +797,81 @@ def test_decoded_lru_budget_and_generation_guard():
     ns2 = _NsDecodeCache(lru, ("k", 0))
     ns2.put("fresh", (a,))
     assert ns2.get("fresh") is not None
+
+
+def test_prewarm_and_recent_queries(spark, small_corpus, tmp_path):
+    """prewarm() replays queries so a fresh replica's first real query
+    runs the hot path (terms already faulted into the block LRU);
+    recent_queries feeds it from a QueryLog dir (newest-first,
+    distinct); serve_loop accepts both the {"op": "prewarm"} request
+    and the prewarm= kwarg the CLI --prewarm flag passes."""
+    import io
+    import json
+
+    from mantic_sh_spark.serve import (IndexReader, QueryLog,
+                                       recent_queries, serve_loop)
+
+    idx = small_corpus["index_dir"]
+
+    cold = IndexReader(idx)
+    assert cold.prewarm(["w1x w9x", "qqabsentterm"]) == 2  # absent is fine
+    cold.topk("w1x w9x", k=5)
+    assert cold.counters()["last"]["terms_cold"] == 0  # already faulted
+
+    # log → recent_queries: newest-first, distinct, missing dir = []
+    log_dir = str(tmp_path / "qlog")
+    qlog = QueryLog(log_dir, flush_every=2)
+    qlog.record("w1x", 5, [], 1.0)
+    qlog.record("w2x w3x", 5, [], 1.0)
+    qlog.record("w1x", 5, [], 1.0)  # duplicate, newer
+    qlog.flush()
+    assert recent_queries(log_dir) == ["w1x", "w2x w3x"]
+    assert recent_queries(log_dir, limit=1) == ["w1x"]
+    assert recent_queries(str(tmp_path / "nope")) == []
+
+    # serve_loop: the prewarm op answers with the warmed count, and the
+    # following query reports zero cold terms; prewarm= kwarg replays
+    # the log tail on startup without error
+    out = io.StringIO()
+    serve_loop(idx, stdin=io.StringIO(
+        json.dumps({"op": "prewarm", "queries": ["w0x w2x"]}) + "\n"
+        + json.dumps({"q": "w0x w2x", "k": 3, "stats": True}) + "\n"
+        + json.dumps({"op": "quit"}) + "\n"), stdout=out,
+        log_dir=log_dir, prewarm=2)
+    lines = [json.loads(line) for line in out.getvalue().splitlines()]
+    assert lines[0] == {"ok": True, "warmed": 1}
+    assert lines[1]["stats"]["terms_cold"] == 0
+
+
+def test_mcp_tiered_search(spark, small_corpus):
+    """search_files tiered=true serves the R1 ladder over MCP,
+    value-identical to IndexReader.tiered_topk, with urls + snippets;
+    the mode refuses phrase/session combinations loudly."""
+    import json
+
+    from mantic_sh_spark.mcp import McpServer
+    from mantic_sh_spark.operators.tiers import build_tier_index
+    from mantic_sh_spark.serve import IndexReader
+
+    idx = small_corpus["index_dir"]
+    build_tier_index(spark, idx)
+    reader = IndexReader(idx)
+    srv = McpServer(idx, reader=reader)
+    resp = srv.handle({"jsonrpc": "2.0", "id": 1, "method": "tools/call",
+                       "params": {"name": "search_files",
+                                  "arguments": {"query": "w1x",
+                                                "tiered": True,
+                                                "maxResults": 4}}})
+    payload = json.loads(resp["result"]["content"][0]["text"])
+    want = reader.tiered_topk("w1x", k=4)
+    got = [(r["doc_id"], r["tier"], r["score"]) for r in payload["results"]]
+    assert got == want and len(got) == 4
+    assert all(r["url"] and "snippet" in r for r in payload["results"])
+
+    resp2 = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+                        "params": {"name": "search_files",
+                                   "arguments": {"query": "w1x",
+                                                 "tiered": True,
+                                                 "phrase": True}}})
+    assert resp2["result"]["isError"]
+    assert "exclusive" in resp2["result"]["content"][0]["text"]
