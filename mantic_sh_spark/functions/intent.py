@@ -172,12 +172,6 @@ def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
     for p in prefixes:
         rng = (ds.field("term") >= p) & (ds.field("term") < p + "￿")
         flt = rng if flt is None else (flt | rng)
-    tbl = d.to_table(filter=flt, columns=["term", "df"])
-    agg: dict[str, int] = {}
-    for t, n in zip(tbl.column("term").to_pylist(), tbl.column("df").to_pylist()):
-        if abs(len(t) - len(term)) <= max_dist:
-            agg[t] = agg.get(t, 0) + int(n)
-
     def lev(a: str, b: str) -> int:
         if abs(len(a) - len(b)) > max_dist:
             return max_dist + 1
@@ -191,10 +185,29 @@ def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
             prev = cur
         return prev[-1]
 
-    scored = []
-    for t, df_t in agg.items():
-        dist = 0 if t == term else lev(term, t)
-        if dist <= max_dist:
-            scored.append((dist, -df_t, t))
-    scored.sort()
+    # STREAM the band, never materialize it: a single-character prefix
+    # band over a web-scale vocabulary is ~1e9 rows, and only the
+    # handful of terms that pass the distance test need to be resident
+    # (memory = one record batch + the passing dict). A term's
+    # duplicate rows across segment files re-run lev (segments-per-term
+    # is small) while its df accumulates — same result as the old
+    # materialize-then-aggregate form, pinned by the fuzzy_closest
+    # oracle.
+    pass_df: dict[str, int] = {}
+    pass_dist: dict[str, int] = {}
+    scanner = d.scanner(filter=flt, columns=["term", "df"],
+                        batch_size=1 << 16)
+    for batch in scanner.to_batches():
+        for t, n in zip(batch.column(0).to_pylist(),
+                        batch.column(1).to_pylist()):
+            if abs(len(t) - len(term)) > max_dist:
+                continue
+            if t in pass_df:
+                pass_df[t] += int(n)
+                continue
+            dist = 0 if t == term else lev(term, t)
+            if dist <= max_dist:
+                pass_df[t] = int(n)
+                pass_dist[t] = dist
+    scored = sorted((pass_dist[t], -df_t, t) for t, df_t in pass_df.items())
     return [t for _, _, t in scored[:limit]]

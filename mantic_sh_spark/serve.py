@@ -1524,24 +1524,30 @@ def recent_queries(log_dir: str, limit: int = 100) -> list[str]:
     repeats. Pure pyarrow (no Spark), like every serving-path read."""
     import os
 
-    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
 
     if not os.path.isdir(log_dir):
         return []
-    d = ds.dataset(log_dir, format="parquet")
-    tbl = d.to_table(columns=["ts", "q"])
-    ts = tbl.column("ts").to_numpy()
-    qs = tbl.column("q").to_pylist()
+    # fragments are named log-<first_ts_us>-<n>.parquet, so a reverse
+    # name sort is newest-first — read only as many as the limit needs
+    # (a long-lived service's log grows without bound; the prewarm feed
+    # must not scan all of it)
+    files = sorted((f for f in os.listdir(log_dir) if f.endswith(".parquet")),
+                   reverse=True)
     seen: set = set()
     out: list[str] = []
-    for i in np.argsort(-ts, kind="stable"):
-        q = qs[i]
-        if q in seen:
-            continue
-        seen.add(q)
-        out.append(q)
-        if len(out) >= limit:
-            break
+    for fname in files:
+        tbl = pq.read_table(os.path.join(log_dir, fname), columns=["ts", "q"])
+        ts = tbl.column("ts").to_numpy()
+        qs = tbl.column("q").to_pylist()
+        for i in np.argsort(-ts, kind="stable"):
+            q = qs[i]
+            if q in seen:
+                continue
+            seen.add(q)
+            out.append(q)
+            if len(out) >= limit:
+                return out
     return out
 
 
