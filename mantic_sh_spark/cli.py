@@ -138,6 +138,11 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd == "serve" and args.prewarm and not args.log_dir:
+        # a silent no-op here would leave the operator believing the
+        # cache is warm while first traffic pays full cold-fetch p90
+        p.error("--prewarm replays the query log and requires --log-dir")
+
     if args.cmd == "serve":
         # serving replicas read the committed parquet directly — no JVM
         from .serve import serve_loop

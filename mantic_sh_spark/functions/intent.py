@@ -188,11 +188,11 @@ def expand_fuzzy_term(index_dir: str, term: str, max_dist: int = 2,
     # STREAM the band, never materialize it: a single-character prefix
     # band over a web-scale vocabulary is ~1e9 rows, and only the
     # handful of terms that pass the distance test need to be resident
-    # (memory = one record batch + the passing dict). A term's
-    # duplicate rows across segment files re-run lev (segments-per-term
-    # is small) while its df accumulates — same result as the old
-    # materialize-then-aggregate form, pinned by the fuzzy_closest
-    # oracle.
+    # (memory = one record batch + the passing dict). The dictionary is
+    # one row per term (build_term_dictionary groupBys globally), so
+    # each band term is lev'd exactly once; the accumulate branch is
+    # defensive against a future per-segment layout. Result identical
+    # to the old materialize-then-filter form (fuzzy tests + oracle).
     pass_df: dict[str, int] = {}
     pass_dist: dict[str, int] = {}
     scanner = d.scanner(filter=flt, columns=["term", "df"],

@@ -348,10 +348,12 @@ class McpServer:
             if args.get("tiered"):
                 # R1 ladder is its own ranking mode: phrase and session
                 # boost re-rank BM25 scores, which a tier column would
-                # silently contradict — refuse the combination loudly
-                if kw["phrase"] or sid:
+                # silently contradict, and the ladder takes no deadline
+                # (ladder semantics rank EVERY tier match) — refuse the
+                # combinations loudly rather than silently dropping one
+                if kw["phrase"] or sid or kw["budget_ms"] is not None:
                     raise ValueError(
-                        "tiered=true is exclusive with phrase/sessionId")
+                        "tiered=true is exclusive with phrase/sessionId/budgetMs")
                 from .functions.tokenize import tokenize_query
 
                 rows = reader.tiered_topk(args["query"], k=k)

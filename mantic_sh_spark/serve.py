@@ -1118,6 +1118,11 @@ class IndexReader:
         from .functions.termhash import term_tid
 
         t0 = time.time()
+        # reset the thread-local ST4 flag like every other query impl:
+        # without it, a prior budget-truncated query's True leaks into
+        # this answer whenever tier matches satisfy k (the fill-path
+        # topk resets it, the ≥k branch otherwise would not)
+        self.truncated = False
         stats = {"segments_touched": 0, "blocks_considered": 0,
                  "blocks_decoded": 0, "terms_cold": 0}
         specs = self._tier_specs()
@@ -1537,10 +1542,18 @@ def recent_queries(log_dir: str, limit: int = 100) -> list[str]:
     seen: set = set()
     out: list[str] = []
     for fname in files:
-        tbl = pq.read_table(os.path.join(log_dir, fname), columns=["ts", "q"])
+        try:
+            tbl = pq.read_table(os.path.join(log_dir, fname), columns=["ts", "q"])
+        except Exception:
+            # a crash mid-flush leaves a truncated fragment; the warm
+            # feed is best-effort, and a replica restarting after that
+            # very crash must not fail to boot on it
+            continue
         ts = tbl.column("ts").to_numpy()
         qs = tbl.column("q").to_pylist()
-        for i in np.argsort(-ts, kind="stable"):
+        # ascending-stable then reversed: equal timestamps come out
+        # newest-first, so a truncating limit drops the OLDEST of a tie
+        for i in np.argsort(ts, kind="stable")[::-1]:
             q = qs[i]
             if q in seen:
                 continue
@@ -1800,6 +1813,11 @@ def serve_loop(index_dir: str, stdin=None, stdout=None, k1: float = K1, b: float
                 _emit({"ok": True, **reader.counters()})
                 continue
             if op == "prewarm":
+                # control op like refresh: drain in-flight queries
+                # first (qlog.flush below races worker record() calls
+                # otherwise) and replay inline — prewarm is a startup/
+                # idle operation, not something to run under live load
+                _drain()
                 qs = req.get("queries")
                 if qs is None:
                     if qlog is not None:

@@ -875,3 +875,26 @@ def test_mcp_tiered_search(spark, small_corpus):
                                                  "phrase": True}}})
     assert resp2["result"]["isError"]
     assert "exclusive" in resp2["result"]["content"][0]["text"]
+
+
+def test_recent_queries_tie_order_and_corrupt_fragment(tmp_path, monkeypatch):
+    """Equal-timestamp rows come out newest-first (a truncating limit
+    drops the OLDEST of a tie), and a truncated fragment from a crashed
+    flush is skipped instead of failing the boot-time prewarm."""
+    import time as time_mod
+
+    from mantic_sh_spark import serve as serve_mod
+    from mantic_sh_spark.serve import QueryLog, recent_queries
+
+    log_dir = str(tmp_path / "qlog")
+    qlog = QueryLog(log_dir, flush_every=100)
+    monkeypatch.setattr(serve_mod.time, "time", lambda: 1000.0)
+    qlog.record("older-tie", 5, [], 1.0)
+    qlog.record("newer-tie", 5, [], 1.0)
+    qlog.flush()
+    assert recent_queries(log_dir) == ["newer-tie", "older-tie"]
+    assert recent_queries(log_dir, limit=1) == ["newer-tie"]
+
+    with open(f"{log_dir}/log-9999999999999999-0.parquet", "wb") as f:
+        f.write(b"PAR1 not really a parquet file")
+    assert recent_queries(log_dir) == ["newer-tie", "older-tie"]

@@ -312,3 +312,16 @@ def test_tier_budget_skips_later_fields_once_topk_pinned(spark, tmp_path):
     # top 5, so the query must answer (pre-fix: TierBudgetExceeded)
     guarded._TIER_DF_CAP = 12
     assert guarded.tiered_topk("xterm", k=5) == want
+
+
+def test_tiered_resets_truncated(spark, small_corpus):
+    """The thread-local ST4 flag must reset per query on the tiered
+    path too: a prior budget-truncated query's True must not leak into
+    a complete tiered answer (the ≥k branch never runs topk, which is
+    where the other impls' reset lived)."""
+    idx = small_corpus["index_dir"]
+    build_tier_index(spark, idx)
+    reader = IndexReader(idx)
+    reader.truncated = True  # simulate a prior deadline-truncated query
+    got = reader.tiered_topk("w1x", k=1)  # tier matches ≥ k: no fill
+    assert got and reader.truncated is False
