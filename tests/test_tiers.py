@@ -325,3 +325,30 @@ def test_tiered_resets_truncated(spark, small_corpus):
     reader.truncated = True  # simulate a prior deadline-truncated query
     got = reader.tiered_topk("w1x", k=1)  # tier matches ≥ k: no fill
     assert got and reader.truncated is False
+
+
+def test_tier_build_crash_state_refuses_then_rebuild_heals(spark, tmp_path):
+    """tier_index_meta is written LAST by build_tier_index, so every
+    mid-build crash leaves (possibly partial) field dirs with no meta.
+    Readers must refuse that state with the rebuild instruction —
+    never serve from partial tier fields — and a rebuild fully heals."""
+    import shutil
+
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.sources.catalog import IndexPaths
+    from mantic_sh_spark.sources.synth import SynthConfig, gen_pages
+
+    pages = gen_pages(spark, SynthConfig(n_docs=80, vocab_size=100, seed=5),
+                      partitions=2)
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_tier_index(spark, idx)
+    want = IndexReader(idx).tiered_topk("w1x w2x", k=8)
+
+    # the crash-equivalent state: fields on disk, meta gone
+    shutil.rmtree(IndexPaths(idx).tier_meta)
+    with pytest.raises(FileNotFoundError, match="tier index"):
+        IndexReader(idx).tiered_topk("w1x w2x", k=8)
+
+    build_tier_index(spark, idx)
+    assert IndexReader(idx).tiered_topk("w1x w2x", k=8) == want
