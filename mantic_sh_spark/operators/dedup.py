@@ -82,16 +82,24 @@ def doc_terms(docs: DataFrame) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """(doc_id, sig_id, minhash): n_hashes permutations approximated by
-    salted hashes; min per (doc, sig). Pure Catalyst — the crossJoin
-    side is n_hashes rows (broadcast by construction)."""
-    terms = doc_terms(docs)
-    sigs = docs.sparkSession.range(n_hashes).select(F.col("id").cast("int").alias("sig_id"))
-    return (
-        terms.crossJoin(F.broadcast(sigs))
-        .select("doc_id", "sig_id", hash64(F.col("term"), F.col("sig_id")).alias("h"))
-        .groupBy("doc_id", "sig_id")
-        .agg(F.min("h").alias("minhash"))
+    salted hashes; min per (doc, sig). Pure Catalyst and DOC-LOCAL
+    (r6, guide §2.4): one generated row per (doc, sig_id) with the
+    signature as array_min over the doc's bound distinct-term array —
+    zero exchanges, where the old crossJoin × n_hashes + groupBy
+    shuffled one row per (distinct term, sig) and re-aggregated. The
+    md5 count per doc is unchanged (n_hashes passes over the distinct
+    terms); only the shuffle is gone, and the minhash column stays
+    prunable for consumers that never read it. Docs with no tokens
+    emit no rows, matching the relational form."""
+    base = docs.select("doc_id", F.array_distinct(_toks()).alias("_dt")).filter(
+        F.size("_dt") > 0
     )
+    sig_ids = F.array(*[F.lit(i).cast("int") for i in range(n_hashes)])
+    rows = base.select("doc_id", "_dt", F.explode(sig_ids).alias("sig_id"))
+    minhash = F.array_min(
+        F.transform(F.col("_dt"), lambda t: hash64(t, F.col("sig_id")))
+    )
+    return rows.select("doc_id", "sig_id", minhash.alias("minhash"))
 
 
 def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
@@ -274,21 +282,40 @@ def near_dup_pairs(
 
 def simhash16(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 16-bit SimHash from tf-weighted term-hash bits.
-    Catalyst-only formulation (bit j of the term hash votes ±tf)."""
-    t = docs.withColumn("toks", _toks())
-    tf = t.select("doc_id", F.explode("toks").alias("term")).groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    tf = tf.withColumn("h", hash64(F.col("term"), F.lit("sim")))
-    bits = docs.sparkSession.range(16).select(F.col("id").cast("int").alias("bit"))
-    votes = (
-        tf.crossJoin(F.broadcast(bits))
-        .withColumn("vote", F.expr("((shiftright(h, bit) & 1) * 2 - 1)") * F.col("tf"))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return (
-        votes.withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").cast("long").alias("simhash"))
-    )
+    Catalyst-only formulation (bit j of the term hash votes ±tf).
+
+    DOC-LOCAL (r6, guide §2.4): the per-doc (term, tf) pairs come from
+    the _term_tf_pairs HOF, each term is md5-hashed ONCE into a bound
+    intermediate array, and the 16 bit votes are integer folds over it
+    — zero exchanges, where the old plan shuffled (doc, term) tf rows,
+    multiplied them ×16 through a crossJoin, and paid two more
+    hash-aggregate shuffles. Docs with no tokens emit no rows."""
+    from .index_build import _term_tf_pairs
+
+    def _vote_fold(j: int):
+        # factory, not a default arg: PySpark inspects lambda arity and
+        # a (acc, x, jj=j) signature would be read as a 3-arg lambda
+        return lambda acc, x: acc + (
+            F.shiftright(x["h"], j).bitwiseAND(F.lit(1)) * 2 - 1
+        ) * x["tf"]
+
+    def _with_hashed(hp):
+        sim = None
+        for j in range(16):
+            vote = F.aggregate(hp, F.lit(0).cast("long"), _vote_fold(j))
+            bitval = F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sim = bitval if sim is None else sim + bitval
+        return sim
+
+    def _with_pairs(ps):
+        hashed = F.transform(
+            ps, lambda p: F.struct(hash64(p["term"], "sim").alias("h"), p["tf"].alias("tf"))
+        )
+        return F.get(F.transform(F.array(hashed), _with_hashed), 0)
+
+    sim = F.get(F.transform(F.array(_term_tf_pairs(_toks())), _with_pairs), 0)
+    # filter on the cheap token count, project the expensive fold: a
+    # consumer that only counts rows never evaluates the hash work
+    return docs.filter(F.size(_toks()) > 0).select("doc_id", sim.alias("simhash"))

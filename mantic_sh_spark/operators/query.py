@@ -8,6 +8,14 @@ is a broadcast join of the (tiny) query-term set against the
 (term, doc) tf relation, a per-doc sum, and a rank window — every
 stage Catalyst-native and whole-stage-codegen'd. Used as the oracle-
 checkable slow path; the fast path is operators/wand.py.
+
+r6 (guide §2.3 — shuffle fewer bytes): when the query set is a Python
+list (every entry point), the exploded token stream is pre-filtered to
+the query terms with a codegen InSet BEFORE the tf groupBy. The filter
+is semantically a no-op — the downstream inner join on the query-term
+set restricts to exactly those terms — but it shrinks the build's one
+wide shuffle from every token occurrence in the corpus to only the
+query terms' occurrences (orders of magnitude at web vocabulary).
 """
 
 from __future__ import annotations
@@ -31,15 +39,30 @@ def query_terms_df(spark: SparkSession, queries: list[tuple[int, str]]) -> DataF
     return spark.createDataFrame(pdf, "query_id int, term string")
 
 
+def _all_query_terms(queries: list[tuple[int, str]]) -> list[str]:
+    """Sorted distinct terms across the query set (driver-side) — the
+    literal InSet pre-filter for the exploded token stream."""
+    return sorted({t for _qid, q in queries for t in tokenize_query(q)})
+
+
 def bm25_scores(
     docs: DataFrame,
     qterms: DataFrame,
     k1: float = K1,
     b: float = B,
+    qterm_list: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score): exhaustive BM25 from a docs table that
-    carries `tokens` + `doc_len` (see operators.docs.build_docs)."""
+    carries `tokens` + `doc_len` (see operators.docs.build_docs).
+
+    qterm_list (optional): the distinct query terms as Python literals.
+    When given, the exploded token stream is filtered to them BEFORE
+    the tf aggregation — identical results (the qterms join already
+    restricts to these terms), but the wide shuffle carries only
+    matching occurrences instead of the whole corpus' tokens."""
     toks = docs.select("doc_id", "doc_len", F.explode("tokens").alias("term"))
+    if qterm_list is not None:
+        toks = toks.filter(F.col("term").isin(qterm_list))
     tf = toks.groupBy("term", "doc_id", "doc_len").agg(F.count(F.lit(1)).alias("tf"))
     # restrict to query terms first (broadcast — query set is tiny),
     # THEN compute df over the restricted relation (df per term is
@@ -86,7 +109,11 @@ def bm25_topk(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    return rank_topk(bm25_scores(docs, query_terms_df(spark, queries), k1, b), k)
+    return rank_topk(
+        bm25_scores(docs, query_terms_df(spark, queries), k1, b,
+                    qterm_list=_all_query_terms(queries)),
+        k,
+    )
 
 
 def bm25f_scores(
@@ -95,6 +122,7 @@ def bm25f_scores(
     fields: list[tuple[str, float]],
     k1: float = K1,
     b: float = B,
+    qterm_list: list[str] | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score): field-weighted BM25F — the opt-in
     scoring mode for "exact title/url match should win" (reference:
@@ -106,12 +134,16 @@ def bm25f_scores(
     the rank-identity path is untouched.
 
     `fields` = [(token_column, weight), ...]; docs must carry each
-    token column plus body `doc_len`."""
+    token column plus body `doc_len`. qterm_list pre-filters each
+    field's exploded tokens (same no-op-by-construction argument as
+    bm25_scores)."""
     parts = []
     for col, w in fields:
+        p = docs.select("doc_id", "doc_len", F.explode(col).alias("term"))
+        if qterm_list is not None:
+            p = p.filter(F.col("term").isin(qterm_list))
         parts.append(
-            docs.select("doc_id", "doc_len", F.explode(col).alias("term"))
-            .groupBy("term", "doc_id", "doc_len")
+            p.groupBy("term", "doc_id", "doc_len")
             .agg((F.count(F.lit(1)) * F.lit(float(w))).alias("wtf"))
         )
     wtf = parts[0]
@@ -149,7 +181,11 @@ def bm25f_topk(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    return rank_topk(bm25f_scores(docs, query_terms_df(spark, queries), fields, k1, b), k)
+    return rank_topk(
+        bm25f_scores(docs, query_terms_df(spark, queries), fields, k1, b,
+                     qterm_list=_all_query_terms(queries)),
+        k,
+    )
 
 
 def tiered_topk(
@@ -180,7 +216,7 @@ def tiered_topk(
     slice(tokens, 1, W)) and intersect it query-side, exactly like the
     body index — the tier SEMANTICS here are the contract either way."""
     qterms = query_terms_df(spark, queries)
-    scores = bm25_scores(docs, qterms, k1, b)
+    scores = bm25_scores(docs, qterms, k1, b, qterm_list=_all_query_terms(queries))
     qsets = (
         qterms.groupBy("query_id").agg(F.array_sort(F.collect_set("term")).alias("qset"))
     )

