@@ -1092,6 +1092,22 @@ class IndexReader:
             keep[j[ok]] = True
         return cand[keep]
 
+    def _tier_live_mask(self, uniq: "np.ndarray") -> "np.ndarray":
+        """Boolean mask of non-tombstoned entries in a SORTED doc-id
+        array — the one liveness rule shared by tier membership AND the
+        earlier-tiers-pin-top-k skip check (a dead match must neither
+        rank nor pin)."""
+        live = np.ones(len(uniq), dtype=bool)
+        if not len(uniq):
+            return live
+        for seg in self._dead_segs:
+            dead = self._dead(seg)
+            if dead is None:
+                continue
+            j = np.searchsorted(dead, uniq)
+            live &= ~((j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)] == uniq))
+        return live
+
     def tiered_topk(self, query: str, k: int = 10) -> list[tuple[int, int, float]]:
         return self._self_heal(lambda: self._tiered_topk_impl(query, k))
 
@@ -1184,13 +1200,20 @@ class IndexReader:
                     missing.append(tid)
             if suspects and cand_parts and k <= sum(map(len, cand_parts)):
                 # earlier tiers sort above this one, so once they hold
-                # ≥ k UNIQUE docs this field cannot reach the top k —
-                # skip the probes, the streams, and (critically) the
-                # refusal: a query whose answer is already pinned by an
-                # earlier tier must never error on a later head-term
-                # field. parts can overlap across tiers, so confirm
-                # with the deduped count only when the cheap sum passes.
-                if k <= len(np.unique(np.concatenate(cand_parts))):
+                # ≥ k UNIQUE LIVE docs this field cannot reach the top
+                # k — skip the probes, the streams, and (critically)
+                # the refusal: a query whose answer is already pinned
+                # by an earlier tier must never error on a later
+                # head-term field. parts can overlap across tiers, so
+                # confirm with the deduped count only when the cheap
+                # sum passes — and the dedup must mask TOMBSTONED docs
+                # (same liveness rule applied to the final membership
+                # below): dead earlier-tier matches don't pin anything,
+                # and skipping on their count would silently drop live
+                # later-tier docs from the answer.
+                pinned = np.unique(np.concatenate(cand_parts))
+                pinned = pinned[self._tier_live_mask(pinned)]
+                if k <= len(pinned):
                     continue
             huge = []
             for tid in sorted(suspects):
@@ -1265,13 +1288,7 @@ class IndexReader:
 
         # liveness: drop tombstoned docs from tier membership
         if len(uniq) and self._dead_segs:
-            live = np.ones(len(uniq), dtype=bool)
-            for seg in self._dead_segs:
-                dead = self._dead(seg)
-                if dead is None:
-                    continue
-                j = np.searchsorted(dead, uniq)
-                live &= ~((j < len(dead)) & (dead[np.minimum(j, len(dead) - 1)] == uniq))
+            live = self._tier_live_mask(uniq)
             uniq, tier_arr = uniq[live], tier_arr[live]
 
         scores = self._scores_array(terms, uniq)
@@ -1533,12 +1550,20 @@ def recent_queries(log_dir: str, limit: int = 100) -> list[str]:
 
     if not os.path.isdir(log_dir):
         return []
-    # fragments are named log-<first_ts_us>-<n>.parquet, so a reverse
-    # name sort is newest-first — read only as many as the limit needs
-    # (a long-lived service's log grows without bound; the prewarm feed
-    # must not scan all of it)
+    # fragments are named log-<first_ts_us>-<n>.parquet; sort by the
+    # NUMERIC (ts, n) key, newest first — a plain string sort would put
+    # '-10' before '-2' for same-microsecond fragments (and break on
+    # any future ts digit-width change). Read only as many files as the
+    # limit needs (a long-lived service's log grows without bound; the
+    # prewarm feed must not scan all of it).
+    def _frag_key(fname: str):
+        try:
+            return (1,) + tuple(int(x) for x in fname[4:-8].split("-"))
+        except ValueError:
+            return (0, 0)  # malformed name: sort oldest, never crash
+
     files = sorted((f for f in os.listdir(log_dir) if f.endswith(".parquet")),
-                   reverse=True)
+                   key=_frag_key, reverse=True)
     seen: set = set()
     out: list[str] = []
     for fname in files:

@@ -314,6 +314,60 @@ def test_tier_budget_skips_later_fields_once_topk_pinned(spark, tmp_path):
     assert guarded.tiered_topk("xterm", k=5) == want
 
 
+def test_tier_skip_check_masks_tombstones(spark, tmp_path):
+    """The earlier-tiers-pin-top-k skip must count only LIVE docs
+    (r5 advice): with enough tier-0 matches tombstoned that the live
+    pinned count < k, a later all-over-cap field must surface its
+    (correct, loud) refusal — not be skipped on the dead-inflated
+    count, which silently served later-tier docs as WAND fill
+    (tier n_tiers) instead of their real tier."""
+    import pandas as pd
+
+    from mantic_sh_spark.operators.delete import delete_docs
+    from mantic_sh_spark.operators.index_build import build_index
+    from mantic_sh_spark.serve import TierBudgetExceeded
+
+    texts = []
+    for i in range(12):   # xterm inside the title window → tier 0
+        texts.append(f"xterm lead{i} words here pad pad pad pad tail{i}")
+    for i in range(20):   # xterm at position 11: lead window only → tier 1
+        texts.append("a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 xterm "
+                     f"mid{i} trailing words")
+    for i in range(8):    # filler, no xterm
+        texts.append(f"filler only document number f{i} nothing else")
+    n = len(texts)
+    pages = spark.createDataFrame(pd.DataFrame({
+        "url": [f"https://ex.com/p{i}" for i in range(n)],
+        "warc_ts": pd.to_datetime(["2026-01-01"] * n),
+        "html": [b""] * n,
+        "text": texts,
+        "lang": ["en"] * n,
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(spark, pages, idx, n_segments=2)
+    build_tier_index(spark, idx)
+
+    tier0 = [d for d, t, _ in IndexReader(idx).tiered_topk("xterm", k=12)
+             if t == 0]
+    assert len(tier0) == 12
+    delete_docs(spark, idx, doc_ids=tier0[:8])  # live tier-0 = 4 < k
+
+    control = IndexReader(idx)
+    want = control.tiered_topk("xterm", k=5)
+    # 4 live tier-0 docs, then a real LEAD-window (tier 1) doc — the
+    # pre-fix skip served that slot as a tier-2 WAND fill instead
+    assert [t for _, t, _ in want] == [0, 0, 0, 0, 1]
+    assert not set(tier0[:8]) & {d for d, _, _ in want}
+
+    guarded = IndexReader(idx)
+    # title list (12) == cap → materializes; lead list (32) > cap → the
+    # lead field is all-over-cap. Live pinned docs (4) < k, so the skip
+    # must NOT fire and the budget refusal must surface loudly.
+    guarded._TIER_DF_CAP = 12
+    with pytest.raises(TierBudgetExceeded, match="tier field"):
+        guarded.tiered_topk("xterm", k=5)
+
+
 def test_tiered_resets_truncated(spark, small_corpus):
     """The thread-local ST4 flag must reset per query on the tiered
     path too: a prior budget-truncated query's True must not leak into
