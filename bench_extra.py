@@ -23,6 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("BENCH_EXTRA_REPS", "2"))
 
+# mirrors bench.py _headline_queries' name list verbatim (bench.py is
+# frozen for driver measurement and keeps the list function-local, so
+# it cannot be imported; re-sync manually if the driver set changes)
 HEADLINE = [
     "bm25_topk", "bm25_multi", "wand_multi", "tf_triples", "df_per_term",
     "dedup_exact", "minhash_sig", "simhash16", "token_stats", "quality_score",

@@ -264,7 +264,7 @@ def main(argv: list[str] | None = None) -> int:
             elif engine == "bm25f":
                 from .functions.tokenize import tokens_col
                 from .operators.delete import tombstone_df
-                from .operators.query import bm25f_scores, query_terms_df, rank_topk
+                from .operators.query import _all_query_terms, bm25f_scores, query_terms_df, rank_topk
                 from .sources.catalog import IndexPaths
 
                 # same tombstone semantics as the explicit --engine
@@ -279,8 +279,10 @@ def main(argv: list[str] | None = None) -> int:
 
                 docs = gated_docs(spark, IndexPaths(args.index)).withColumn(
                     "tokens", tokens_col("text")).withColumn("url_tokens", tokens_col("url"))
-                scores = bm25f_scores(docs, query_terms_df(spark, [(0, " ".join(plan.terms))]),
-                                      fields=[("tokens", 1.0), ("url_tokens", args.url_weight)])
+                q = [(0, " ".join(plan.terms))]
+                scores = bm25f_scores(docs, query_terms_df(spark, q),
+                                      fields=[("tokens", 1.0), ("url_tokens", args.url_weight)],
+                                      qterm_list=_all_query_terms(q))
                 dead = tombstone_df(spark, IndexPaths(args.index))
                 if dead is not None:
                     scores = scores.join(dead, "doc_id", "left_anti")
@@ -329,7 +331,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             from .functions.tokenize import tokens_col
             from .operators.delete import tombstone_df
-            from .operators.query import bm25_scores, bm25f_scores, query_terms_df, rank_topk
+            from .operators.query import _all_query_terms, bm25_scores, bm25f_scores, query_terms_df, rank_topk
             from .sources.catalog import IndexPaths
 
             # tombstone parity with wand/phrase's pre-purge contract:
@@ -348,9 +350,10 @@ def main(argv: list[str] | None = None) -> int:
                 # off the rank-identity path by design
                 docs = docs.withColumn("url_tokens", tokens_col("url"))
                 scores = bm25f_scores(docs, qterms,
-                                      fields=[("tokens", 1.0), ("url_tokens", args.url_weight)])
+                                      fields=[("tokens", 1.0), ("url_tokens", args.url_weight)],
+                                      qterm_list=_all_query_terms(queries))
             else:
-                scores = bm25_scores(docs, qterms)
+                scores = bm25_scores(docs, qterms, qterm_list=_all_query_terms(queries))
             dead = tombstone_df(spark, IndexPaths(args.index))
             if dead is not None:
                 scores = scores.join(dead, "doc_id", "left_anti")

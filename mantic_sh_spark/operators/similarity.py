@@ -33,14 +33,23 @@ def _norm(a) -> F.Column:
     return F.sqrt(_dot(a, a))
 
 
-def cosine_scores(emb: DataFrame, query_vec: list[float], id_col: str = "vec_id",
-                  vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, cos): exact cosine vs a constant query vector."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+def _cosine_scored(emb: DataFrame, q: F.Column, id_col: str,
+                   vec_col: str) -> DataFrame:
+    """(vec_id, cos) for an arbitrary query-vector Column — the ONE
+    copy of the scoring expression (zip_with dot with both sides cast
+    to double, round 4) shared by the literal-vector and
+    DataFrame-vector entry points, so they cannot diverge."""
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4).alias("cos"),
     )
+
+
+def cosine_scores(emb: DataFrame, query_vec: list[float], id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, cos): exact cosine vs a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return _cosine_scored(emb, q, id_col, vec_col)
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -53,14 +62,17 @@ def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w))
 
 
+def _exclude_and_rank(s: DataFrame, k: int, exclude_id: int | None) -> DataFrame:
+    if exclude_id is not None:
+        s = s.filter(F.col("vec_id") != exclude_id)
+    return _ranked_topk(s, k)
+
+
 def cosine_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
                 exclude_id: int | None = None) -> DataFrame:
     """(vec_id, cos, rank): brute-force exact top-k (deterministic
     tie-break vec_id asc)."""
-    s = cosine_scores(emb, query_vec)
-    if exclude_id is not None:
-        s = s.filter(F.col("vec_id") != exclude_id)
-    return _ranked_topk(s, k)
+    return _exclude_and_rank(cosine_scores(emb, query_vec), k, exclude_id)
 
 
 def cosine_topk_df(emb: DataFrame, query_df: DataFrame, k: int = 10,
@@ -69,18 +81,11 @@ def cosine_topk_df(emb: DataFrame, query_df: DataFrame, k: int = 10,
     """cosine_topk with the query vector as a one-row DataFrame
     (broadcast crossJoin) instead of a collected Python list — keeps
     the whole query lazy, so a registry entry never runs a separate
-    driver-side `first()` job inside its timed region (r6). Arithmetic
-    is identical to cosine_scores: zip_with dot with both sides cast
-    to double, round(…, 4)."""
-    q = F.col("_qv")
+    driver-side `first()` job inside its timed region (r6). Scoring is
+    structurally shared with cosine_scores (_cosine_scored)."""
     j = emb.crossJoin(F.broadcast(query_df.select(F.col(vec_col).alias("_qv"))))
-    s = j.select(
-        F.col(id_col).alias("vec_id"),
-        F.round(_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 4).alias("cos"),
-    )
-    if exclude_id is not None:
-        s = s.filter(F.col("vec_id") != exclude_id)
-    return _ranked_topk(s, k)
+    s = _cosine_scored(j, F.col("_qv"), id_col, vec_col)
+    return _exclude_and_rank(s, k, exclude_id)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
