@@ -34,6 +34,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _docs_tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+    # doc_len stays size(tokens) — NOT the count-only tokenizer form:
+    # measured r6, the heavy consumers (BM25 tf branch) need the token
+    # array anyway, so an independent regexp_count makes them tokenize
+    # twice (+0.5 s at 10×) to save one array build in the small stats
+    # branch
     return d.withColumn("tokens", tokens_col("text", camel=False)).withColumn(
         "doc_len", F.size("tokens")
     )
