@@ -39,6 +39,27 @@ def test_bruteforce_matches_numpy(emb, emb_np):
     assert got == want
 
 
+def test_cosine_topk_df_matches_list_form(emb, emb_np):
+    """cosine_topk_df (query vector as a one-row broadcast DataFrame —
+    the lazy form the ann_cosine_topk registry entry uses, r6) must be
+    value-identical to cosine_topk with the collected Python list."""
+    from pyspark.sql import functions as F
+
+    ids, mat = emb_np
+    want = [
+        (r.vec_id, r.cos)
+        for r in similarity.cosine_topk(emb, mat[0].tolist(), k=10, exclude_id=0)
+        .orderBy("rank").collect()
+    ]
+    qdf = emb.filter(F.col("vec_id") == 0)
+    got = [
+        (r.vec_id, r.cos)
+        for r in similarity.cosine_topk_df(emb, qdf, k=10, exclude_id=0)
+        .orderBy("rank").collect()
+    ]
+    assert got == want
+
+
 def test_lsh_recall_on_clustered_data(spark):
     """LSH recall on data with real neighborhood structure (planted
     clusters). The sf embeddings are ~uniform random (best neighbor
